@@ -1,0 +1,143 @@
+"""Wind fields: device-resident 4-D grids + procedural noise.
+
+Re-design of the reference wind stack (``env/wind_field.py``,
+``env/grid_based_wind_field.py``, ``env/generative_wind_field.py``):
+
+  - A wind field is DATA, not an object: `WindFieldState` holds the decoded
+    (21, 21, 10, 9, 2) forecast grid and the noise parameters, all pytree
+    leaves, so each vectorized env carries its own field.
+  - `get_forecast` is quadrilinear interpolation (ops/interp.py) with
+    edge clamping and the 48-h time "boomerang"
+    (grid_based_wind_field.py:134-186).
+  - `get_ground_truth` adds two-component five-harmonic simplex noise
+    (wind_field.py:125-145).
+
+Field samplers (VAE decode / procedural test fields) live in callers; this
+module is pure lookup math.
+"""
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ble_tpu.env import simplex_noise
+from ble_tpu.ops import interp
+
+# FieldShape constants (reference generative/vae.py:27-44).
+LATLNG_SLICES = 21
+PRESSURE_SLICES = 10
+TIME_SLICES = 9
+LATLNG_DISPLACEMENT_KM = 500.0
+MIN_PRESSURE_PA = 5000.0
+MAX_PRESSURE_PA = 14000.0
+TIME_HORIZON_HOURS = 48.0
+
+GRID_SHAPE = (LATLNG_SLICES, LATLNG_SLICES, PRESSURE_SLICES, TIME_SLICES, 2)
+
+_AXES = (
+    jnp.linspace(-LATLNG_DISPLACEMENT_KM, LATLNG_DISPLACEMENT_KM,
+                 LATLNG_SLICES),
+    jnp.linspace(-LATLNG_DISPLACEMENT_KM, LATLNG_DISPLACEMENT_KM,
+                 LATLNG_SLICES),
+    jnp.linspace(MIN_PRESSURE_PA, MAX_PRESSURE_PA, PRESSURE_SLICES),
+    jnp.linspace(0.0, TIME_HORIZON_HOURS, TIME_SLICES),
+)
+
+
+@struct.dataclass
+class WindFieldState:
+  """Per-episode wind field: forecast grid + noise parameters."""
+  field: jnp.ndarray  # (21, 21, 10, 9, 2) float32, [u, v] in m/s.
+  noise_seeds: jnp.ndarray  # (2, 5) int32: per (component, harmonic).
+  noise_offsets: jnp.ndarray  # (2, 5, 4) float32 in [-1, 1].
+
+
+def reset_noise(key: jax.Array):
+  """Samples noise seeds/offsets (reference simplex_wind_noise.py:98-114)."""
+  seed_key, offset_key = jax.random.split(key)
+  seeds = jax.random.randint(seed_key, (2, 5), 0, 2**31 - 1, jnp.int32)
+  offsets = jax.random.uniform(offset_key, (2, 5, 4)) * 2.0 - 1.0
+  return seeds, offsets
+
+
+def make_state(field: jnp.ndarray, key: jax.Array) -> WindFieldState:
+  seeds, offsets = reset_noise(key)
+  return WindFieldState(field=field, noise_seeds=seeds, noise_offsets=offsets)
+
+
+def _boomerang_hours(elapsed_s):
+  """Reflects time past the 48-h horizon (grid_based_wind_field.py:134-143)."""
+  hours = jnp.asarray(elapsed_s, jnp.float32) / 3600.0
+  cycle = jnp.floor(hours / TIME_HORIZON_HOURS).astype(jnp.int32)
+  remainder = jnp.mod(hours, TIME_HORIZON_HOURS)
+  backward = (cycle % 2) == 1
+  return jnp.where(backward, TIME_HORIZON_HOURS - remainder, remainder)
+
+
+def get_forecast(state: WindFieldState, x_m, y_m, pressure_pa, elapsed_s):
+  """Forecast (u, v) [m/s] at one or a column of query points.
+
+  Args:
+    state: the wind field (leaves may carry leading batch axes if vmapped).
+    x_m, y_m: offsets from the station [m].
+    pressure_pa: pressure(s); may carry extra trailing axes for columns.
+    elapsed_s: seconds since the field epoch.
+
+  Returns:
+    (u, v) arrays broadcast over the query shape.
+  """
+  x_km = jnp.clip(jnp.asarray(x_m, jnp.float32) / 1000.0,
+                  -LATLNG_DISPLACEMENT_KM, LATLNG_DISPLACEMENT_KM)
+  y_km = jnp.clip(jnp.asarray(y_m, jnp.float32) / 1000.0,
+                  -LATLNG_DISPLACEMENT_KM, LATLNG_DISPLACEMENT_KM)
+  pressure = jnp.clip(jnp.asarray(pressure_pa, jnp.float32), MIN_PRESSURE_PA,
+                      MAX_PRESSURE_PA)
+  t_hours = _boomerang_hours(elapsed_s)
+
+  x_km, y_km, pressure, t_hours = jnp.broadcast_arrays(
+      x_km, y_km, pressure, t_hours)
+  points = jnp.stack([x_km, y_km, pressure, t_hours], axis=-1)
+  uv = interp.interp4d(state.field, _AXES, points)
+  return uv[..., 0], uv[..., 1]
+
+
+def get_noise(state: WindFieldState, x_m, y_m, pressure_pa, elapsed_s):
+  """Simplex wind noise (u, v) [m/s] (reference wind_field.py:188-219)."""
+  x_km = jnp.asarray(x_m, jnp.float32) / 1000.0
+  y_km = jnp.asarray(y_m, jnp.float32) / 1000.0
+  t_hours = jnp.asarray(elapsed_s, jnp.float32) / 3600.0
+  u = simplex_noise.harmonic_noise(x_km, y_km, pressure_pa, t_hours,
+                                   state.noise_seeds[0],
+                                   state.noise_offsets[0],
+                                   simplex_noise.U_HARMONICS)
+  v = simplex_noise.harmonic_noise(x_km, y_km, pressure_pa, t_hours,
+                                   state.noise_seeds[1],
+                                   state.noise_offsets[1],
+                                   simplex_noise.V_HARMONICS)
+  return u, v
+
+
+def get_ground_truth(state: WindFieldState, x_m, y_m, pressure_pa, elapsed_s):
+  """Forecast + noise (reference wind_field.py:125-145)."""
+  fu, fv = get_forecast(state, x_m, y_m, pressure_pa, elapsed_s)
+  nu, nv = get_noise(state, x_m, y_m, pressure_pa, elapsed_s)
+  return fu + nu, fv + nv
+
+
+def simple_static_field() -> jnp.ndarray:
+  """The 4-direction test field (reference wind_field.py:149-184) as a grid.
+
+  The reference returns exact 10 m/s winds by pressure band; encoding it on
+  the grid reproduces those values away from band boundaries (grid pressure
+  spacing is 1000 Pa; bands change at 8/10/12 kPa which are grid points;
+  at a boundary the reference uses the lower band, the grid interpolates).
+  """
+  pressures = jnp.linspace(MIN_PRESSURE_PA, MAX_PRESSURE_PA, PRESSURE_SLICES)
+  u = jnp.where(pressures < 8000.0, 10.0,
+                jnp.where(pressures < 10000.0, 0.0,
+                          jnp.where(pressures < 12000.0, -10.0, 0.0)))
+  v = jnp.where(pressures < 8000.0, 0.0,
+                jnp.where(pressures < 10000.0, 10.0,
+                          jnp.where(pressures < 12000.0, 0.0, -10.0)))
+  uv = jnp.stack([u, v], axis=-1)  # (10, 2)
+  return jnp.broadcast_to(uv[None, None, :, None, :], GRID_SHAPE)

@@ -6,7 +6,7 @@ Tests exercise the multi-chip sharding paths on virtual CPU devices
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
   os.environ["XLA_FLAGS"] = (
@@ -16,3 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ble_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# Force CPU via jax.config as well: the container's sitecustomize imports
+# jax at interpreter startup (registering a remote-TPU PJRT plugin), so
+# environment variables alone are read too late. Eager per-op dispatch over
+# the TPU tunnel is a network round-trip; tests must run on local CPU.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,200 @@
+"""Wind subsystem tests: grid interpolation vs scipy, GP vs sklearn, noise
+statistics, and VAE decoder shape/incompressibility."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.interpolate
+from sklearn import gaussian_process
+
+from ble_tpu.env import simplex_noise
+from ble_tpu.env import wind_field
+from ble_tpu.env import wind_gp
+from ble_tpu.generative import vae
+from ble_tpu.ops import interp
+
+
+def test_interp4d_matches_scipy_interpn():
+  rng = np.random.RandomState(0)
+  grid = rng.randn(21, 21, 10, 9, 2).astype(np.float32)
+  axes = tuple(np.asarray(a) for a in wind_field._AXES)
+
+  pts = np.stack([
+      rng.uniform(-500, 500, 64),
+      rng.uniform(-500, 500, 64),
+      rng.uniform(5000, 14000, 64),
+      rng.uniform(0, 48, 64),
+  ], axis=-1).astype(np.float32)
+
+  ref = scipy.interpolate.interpn(axes, grid, pts)
+  mine = np.asarray(interp.interp4d(jnp.asarray(grid),
+                                    wind_field._AXES, jnp.asarray(pts)))
+  np.testing.assert_allclose(mine, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_forecast_clamps_out_of_range():
+  field = jnp.asarray(np.random.RandomState(1).randn(*wind_field.GRID_SHAPE),
+                      jnp.float32)
+  state = wind_field.make_state(field, jax.random.PRNGKey(0))
+  u1, v1 = wind_field.get_forecast(state, 2_000_000.0, 0.0, 9000.0, 0)
+  u2, v2 = wind_field.get_forecast(state, 500_000.0, 0.0, 9000.0, 0)
+  assert abs(float(u1) - float(u2)) < 1e-5
+  assert abs(float(v1) - float(v2)) < 1e-5
+
+
+def test_time_boomerang_reflects():
+  field = jnp.asarray(np.random.RandomState(2).randn(*wind_field.GRID_SHAPE),
+                      jnp.float32)
+  state = wind_field.make_state(field, jax.random.PRNGKey(0))
+  # 50 h reflects to 46 h; 100 h = 2*48+4 goes forward to 4 h.
+  u_50, _ = wind_field.get_forecast(state, 0.0, 0.0, 9000.0, 50 * 3600)
+  u_46, _ = wind_field.get_forecast(state, 0.0, 0.0, 9000.0, 46 * 3600)
+  assert abs(float(u_50) - float(u_46)) < 1e-4
+  u_100, _ = wind_field.get_forecast(state, 0.0, 0.0, 9000.0, 100 * 3600)
+  u_4, _ = wind_field.get_forecast(state, 0.0, 0.0, 9000.0, 4 * 3600)
+  assert abs(float(u_100) - float(u_4)) < 1e-4
+
+
+def test_static_field_directions():
+  state = wind_field.make_state(wind_field.simple_static_field(),
+                                jax.random.PRNGKey(0))
+  u, v = wind_field.get_forecast(state, 0.0, 0.0, 7000.0, 0)
+  assert abs(float(u) - 10.0) < 1e-4 and abs(float(v)) < 1e-4
+  u, v = wind_field.get_forecast(state, 0.0, 0.0, 9000.0, 0)
+  assert abs(float(u)) < 1e-4 and abs(float(v) - 10.0) < 1e-4
+  u, v = wind_field.get_forecast(state, 0.0, 0.0, 11000.0, 0)
+  assert abs(float(u) + 10.0) < 1e-4 and abs(float(v)) < 1e-4
+  u, v = wind_field.get_forecast(state, 0.0, 0.0, 13500.0, 0)
+  assert abs(float(u)) < 1e-4 and abs(float(v) + 10.0) < 1e-4
+
+
+def test_noise_statistics():
+  state = wind_field.make_state(jnp.zeros(wind_field.GRID_SHAPE),
+                                jax.random.PRNGKey(3))
+  rng = np.random.RandomState(4)
+  xs = jnp.asarray(rng.uniform(-500e3, 500e3, 5000), jnp.float32)
+  ys = jnp.asarray(rng.uniform(-500e3, 500e3, 5000), jnp.float32)
+  ps = jnp.asarray(rng.uniform(5000, 14000, 5000), jnp.float32)
+  ts = jnp.asarray(rng.uniform(0, 48 * 3600, 5000), jnp.float32)
+  u, v = wind_field.get_noise(state, xs, ys, ps, ts)
+  for comp in (np.asarray(u), np.asarray(v)):
+    assert abs(comp.mean()) < 0.3
+    # Blended noise should have std close to sqrt(1.02) ~= 1.01 m/s.
+    assert 0.5 < comp.std() < 2.0
+
+
+def test_noise_deterministic_per_seed():
+  s1 = wind_field.make_state(jnp.zeros(wind_field.GRID_SHAPE),
+                             jax.random.PRNGKey(5))
+  s2 = wind_field.make_state(jnp.zeros(wind_field.GRID_SHAPE),
+                             jax.random.PRNGKey(5))
+  s3 = wind_field.make_state(jnp.zeros(wind_field.GRID_SHAPE),
+                             jax.random.PRNGKey(6))
+  u1, _ = wind_field.get_noise(s1, 1000.0, 2000.0, 8000.0, 3600.0)
+  u2, _ = wind_field.get_noise(s2, 1000.0, 2000.0, 8000.0, 3600.0)
+  u3, _ = wind_field.get_noise(s3, 1000.0, 2000.0, 8000.0, 3600.0)
+  assert float(u1) == float(u2)
+  assert float(u1) != float(u3)
+
+
+def test_simplex_raw_variance_constant():
+  key = jax.random.PRNGKey(0)
+  pts = jax.random.uniform(key, (100000, 4), minval=-50.0, maxval=50.0)
+  v = simplex_noise.simplex4d(pts[:, 0], pts[:, 1], pts[:, 2], pts[:, 3],
+                              jnp.int32(1234))
+  var = float(jnp.var(v))
+  assert abs(var - simplex_noise.RAW_VARIANCE) / simplex_noise.RAW_VARIANCE < 0.1
+
+
+def test_wind_gp_matches_sklearn():
+  rng = np.random.RandomState(7)
+  n_obs = 20
+  locs = np.stack([
+      rng.uniform(-200e3, 200e3, n_obs),
+      rng.uniform(-200e3, 200e3, n_obs),
+      rng.uniform(5000, 14000, n_obs),
+      np.arange(n_obs) * 180.0,
+  ], axis=-1)
+  errors = rng.randn(n_obs, 2)
+
+  state = wind_gp.init()
+  for i in range(n_obs):
+    state = wind_gp.observe(state, *locs[i], errors[i, 0], errors[i, 1])
+
+  query_t = locs[-1, 3]
+  queries = np.stack([
+      np.full(181, locs[-1, 0]),
+      np.full(181, locs[-1, 1]),
+      np.linspace(5000, 14000, 181),
+      np.full(181, query_t),
+  ], axis=-1)
+
+  mine_means, mine_devs = wind_gp.query(state, jnp.asarray(queries))
+
+  # sklearn oracle, mirroring reference wind_gp.py:66-207.
+  kernel = wind_gp.SIGMA_EXP_SQUARED * gaussian_process.kernels.Matern(
+      length_scale=np.asarray(wind_gp.LENGTH_SCALES),
+      length_scale_bounds='fixed', nu=0.5)
+  model = gaussian_process.GaussianProcessRegressor(
+      kernel=kernel, alpha=wind_gp.SIGMA_NOISE_SQUARED, optimizer=None)
+  model.fit(locs, errors)
+  ref_means, ref_std = model.predict(queries, return_std=True)
+  ref_devs = ref_std ** 2 / wind_gp.SIGMA_EXP_SQUARED
+  if ref_devs.ndim == 2:
+    ref_devs = ref_devs.mean(axis=1)
+
+  # float32 Cholesky vs sklearn's float64: ~1e-3 m/s agreement.
+  np.testing.assert_allclose(np.asarray(mine_means), ref_means, atol=1e-2)
+  np.testing.assert_allclose(np.asarray(mine_devs), ref_devs, atol=1e-2)
+
+
+def test_wind_gp_stale_observations_dropped():
+  state = wind_gp.init()
+  # One old observation (t=0) and one fresh (t=7h).
+  state = wind_gp.observe(state, 0.0, 0.0, 9000.0, 0.0, 5.0, 5.0)
+  state = wind_gp.observe(state, 0.0, 0.0, 9000.0, 7 * 3600.0, -1.0, -1.0)
+  queries = jnp.asarray([[0.0, 0.0, 9000.0, 7 * 3600.0]])
+  means, devs = wind_gp.query(state, queries)
+  # Prediction should follow only the fresh observation.
+  assert float(means[0, 0]) < 0.0
+  assert float(devs[0]) < 0.1
+
+
+def test_wind_gp_empty():
+  state = wind_gp.init()
+  means, devs = wind_gp.query(state, jnp.asarray([[0.0, 0.0, 9000.0, 0.0]]))
+  assert float(jnp.sum(jnp.abs(means))) == 0.0
+  assert float(devs[0]) == 0.0
+
+
+def test_wind_gp_vmap():
+  state = jax.vmap(lambda _: wind_gp.init())(jnp.arange(3))
+  obs = jax.vmap(wind_gp.observe, in_axes=(0, 0, None, None, None, None,
+                                           None))(
+      state, jnp.asarray([0.0, 1000.0, 2000.0]), 0.0, 9000.0, 0.0, 1.0, -1.0)
+  queries = jnp.broadcast_to(jnp.asarray([[0.0, 0.0, 9000.0, 0.0]]), (3, 1, 4))
+  means, devs = jax.vmap(wind_gp.query)(obs, queries)
+  assert means.shape == (3, 1, 2)
+  assert devs.shape == (3, 1)
+
+
+def test_vae_decoder_shapes_and_incompressibility():
+  params = vae.init_decoder_params(jax.random.PRNGKey(0))
+  field = vae.sample_field(params, jax.random.PRNGKey(1))
+  assert field.shape == wind_field.GRID_SHAPE
+  f = np.asarray(field)
+  assert np.all(np.isfinite(f))
+  # The stream-function construction (u, v) = (psi_ax0, -psi_ax1) makes
+  # du/d(ax1) + dv/d(ax0) vanish identically in the grid interior (the
+  # reference decoder uses the same axis convention, vae.py:160-186).
+  du_d1 = (f[1:-1, 2:, :, :, 0] - f[1:-1, :-2, :, :, 0]) / 2.0
+  dv_d0 = (f[2:, 1:-1, :, :, 1] - f[:-2, 1:-1, :, :, 1]) / 2.0
+  div = du_d1 + dv_d0
+  assert np.abs(div[1:-1, 1:-1]).max() < 1e-4
+
+
+def test_vae_batched_decode():
+  params = vae.init_decoder_params(jax.random.PRNGKey(0))
+  z = jax.random.normal(jax.random.PRNGKey(2), (4, vae.NUM_LATENTS))
+  fields = vae.Decoder().apply(params, z)
+  assert fields.shape == (4,) + wind_field.GRID_SHAPE
