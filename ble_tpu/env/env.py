@@ -1,0 +1,258 @@
+"""The Balloon RL environment as pure reset/step functions.
+
+Re-design of the reference env stack (``env/balloon_env.py``,
+``env/balloon_arena.py``): instead of stateful Arena/Env objects, the whole
+simulator state is one `EnvState` pytree and
+
+    reset(key, params, field_fn)            -> (EnvState, obs)
+    step(params, state, action)             -> (EnvState, obs, reward, done, info)
+
+are pure jittable functions, vmappable over envs. Episode-boundary resets
+are the harness's job (terminal balloons freeze; see balloon.simulate_step),
+which keeps the hot step free of VAE decodes and sunrise searches.
+
+`EnvState` doubles as the checkpointable simulator state (reference
+`SimulatorState` get/set, balloon_arena.py:204-214): it is a pytree of
+arrays, so orbax can save/restore it directly.
+"""
+
+import math
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ble_tpu.env import atmosphere as atmosphere_lib
+from ble_tpu.env import balloon as balloon_lib
+from ble_tpu.env import features as features_lib
+from ble_tpu.env import safety
+from ble_tpu.env import solar
+from ble_tpu.env import stable_init
+from ble_tpu.env import wind_field as wind_field_lib
+from ble_tpu.env import wind_gp
+from ble_tpu.utils import constants
+from ble_tpu.utils import sampling
+from ble_tpu.utils import transforms
+
+NUM_ACTIONS = 3
+OBSERVATION_DIM = features_lib.NUM_FEATURES
+
+
+@struct.dataclass
+class EnvParams:
+  """Environment configuration (reference BalloonEnv gin params)."""
+  balloon: balloon_lib.BalloonParams = struct.field(
+      default_factory=balloon_lib.BalloonParams)
+  station_keeping_radius_km: float = 50.0
+  reward_dropoff: float = 0.4
+  reward_halflife_km: float = 100.0
+
+
+@struct.dataclass
+class EnvState:
+  balloon: balloon_lib.BalloonState
+  atmosphere: atmosphere_lib.AtmosphereParams
+  wind: wind_field_lib.WindFieldState
+  gp: wind_gp.WindGPState
+  # Next sunrise/sunset at the balloon (feature solar cycle; advanced by
+  # whole days within an episode like power_safety.py:83-86).
+  sunrise_s: jnp.ndarray
+  sunset_s: jnp.ndarray
+  # Ground-truth wind at the balloon's current position/time. This is both
+  # the last measurement and next step's advection wind (the reference
+  # looks the same value up twice; balloon_arena.py:194,222).
+  wind_u: jnp.ndarray
+  wind_v: jnp.ndarray
+  steps: jnp.ndarray  # int32 agent steps taken this episode.
+
+
+class StepOutput(NamedTuple):
+  state: EnvState
+  observation: jnp.ndarray
+  reward: jnp.ndarray
+  done: jnp.ndarray
+  info: dict
+
+
+def reward_function(params: EnvParams, state: balloon_lib.BalloonState,
+                    excess: jnp.ndarray) -> jnp.ndarray:
+  """Perciatelli reward (reference balloon_env.py:44-102)."""
+  distance_km = jnp.sqrt(state.x_m ** 2 + state.y_m ** 2) / 1000.0
+  radius = params.station_keeping_radius_km
+  outside = params.reward_dropoff * jnp.exp(
+      -0.69314718056 / params.reward_halflife_km * (distance_km - radius))
+  reward = jnp.where(distance_km <= radius, 1.0, outside)
+
+  # Power regularization when descending without excess energy.
+  scale = transforms.linear_rescale_with_saturation(state.acs_power_w, 100.0,
+                                                    300.0)
+  multiplier = 0.95 - 0.3 * scale
+  apply_penalty = jnp.logical_and(state.last_command == safety.DOWN, ~excess)
+  return jnp.where(apply_penalty, reward * multiplier, reward)
+
+
+def _observe_and_features(params: EnvParams, state: EnvState):
+  """GP-observes the cached measurement and builds the feature vector
+  (reference balloon_arena.py:179-202 observe + get_features)."""
+  b = state.balloon
+  elapsed = b.time_elapsed_s.astype(jnp.float32)
+  forecast_u, forecast_v = wind_field_lib.get_forecast(
+      state.wind, b.x_m, b.y_m, b.pressure_pa, elapsed)
+  gp = wind_gp.observe(state.gp, b.x_m, b.y_m, b.pressure_pa, elapsed,
+                       state.wind_u - forecast_u, state.wind_v - forecast_v)
+  state = state.replace(gp=gp)
+  obs = features_lib.get_features(params.balloon, b, gp, state.wind,
+                                  state.atmosphere, state.sunrise_s,
+                                  state.sunset_s)
+  return state, obs
+
+
+def _advance_past(anchor_s, time_s):
+  delta = time_s - anchor_s
+  k = jnp.where(delta > 0, (delta + 86399) // 86400, 0)
+  return anchor_s + k * 86400
+
+
+def reset(key: jax.Array, params: EnvParams,
+          field_fn: Callable[[jax.Array], jnp.ndarray]):
+  """Fresh episode (reference balloon_arena.py:161-182,228-268).
+
+  Args:
+    key: per-env PRNG key.
+    params: environment parameters.
+    field_fn: key -> (21, 21, 10, 9, 2) forecast grid (e.g. a VAE decode or
+      a procedural test field).
+
+  Returns:
+    (EnvState, observation).
+  """
+  (atmo_key, time_key, offset_key, loc_key, pressure_key, ir_key,
+   wind_key) = jax.random.split(key, 7)
+
+  atmosphere = atmosphere_lib.reset(atmo_key)
+  t0 = sampling.sample_time(time_key)
+  x_m, y_m = sampling.sample_initial_offset(offset_key)
+  center_lat, center_lng = sampling.sample_location(loc_key)
+  pressure = sampling.sample_pressure(pressure_key, atmosphere)
+  upwelling_ir = sampling.sample_upwelling_infrared(ir_key)
+
+  balloon = balloon_lib.BalloonState(
+      center_lat_rad=center_lat,
+      center_lng_rad=center_lng,
+      x_m=x_m,
+      y_m=y_m,
+      pressure_pa=pressure,
+      time_s=t0,
+      time_elapsed_s=jnp.int32(0),
+      ambient_temperature_k=jnp.float32(206.0),
+      internal_temperature_k=jnp.float32(206.0),
+      mols_air=jnp.float32(0.0),
+      envelope_volume_m3=jnp.float32(1804.0),
+      superpressure_pa=jnp.float32(0.0),
+      acs_power_w=jnp.float32(0.0),
+      acs_mass_flow_kg_s=jnp.float32(0.0),
+      solar_charging_w=jnp.float32(0.0),
+      power_load_w=jnp.float32(0.0),
+      battery_charge_j=jnp.float32(2905.6 * constants.WATT_HOURS_TO_JOULES),
+      last_command=jnp.int32(safety.STAY),
+      status=jnp.int32(balloon_lib.STATUS_OK),
+      upwelling_infrared_w_m2=upwelling_ir,
+      power_safety=safety.PowerSafetyState(
+          navigation_is_paused=jnp.bool_(False),
+          sunrise_with_hysteresis_s=jnp.int32(0),  # Filled below.
+          sunset_s=jnp.int32(0)),
+      envelope_safety_state=jnp.int32(0),
+      altitude_safety_state=jnp.int32(0))
+  balloon = stable_init.cold_start_to_stable_params(params.balloon, balloon,
+                                                    atmosphere)
+
+  # Sunrise/sunset at the initial position (power_safety.py:40-50).
+  lat, lng = balloon_lib.latlng(balloon)
+  sunrise, sunset = solar.next_sunrise_sunset(lat, lng, t0)
+  balloon = balloon.replace(power_safety=safety.PowerSafetyState(
+      navigation_is_paused=jnp.bool_(False),
+      sunrise_with_hysteresis_s=sunrise + safety.POWER_SUNRISE_HYSTERESIS_S,
+      sunset_s=sunset))
+
+  noise_key, forecast_key = jax.random.split(wind_key)
+  field = field_fn(forecast_key)
+  seeds, offsets = wind_field_lib.reset_noise(noise_key)
+  wind = wind_field_lib.WindFieldState(field=field, noise_seeds=seeds,
+                                       noise_offsets=offsets)
+
+  wind_u, wind_v = wind_field_lib.get_ground_truth(wind, balloon.x_m,
+                                                   balloon.y_m,
+                                                   balloon.pressure_pa, 0.0)
+
+  state = EnvState(
+      balloon=balloon,
+      atmosphere=atmosphere,
+      wind=wind,
+      gp=wind_gp.init(),
+      sunrise_s=sunrise,
+      sunset_s=sunset,
+      wind_u=wind_u,
+      wind_v=wind_v,
+      steps=jnp.int32(0))
+  state, obs = _observe_and_features(params, state)
+  return state, obs
+
+
+def step(params: EnvParams, state: EnvState, action) -> StepOutput:
+  """One agent step (reference balloon_env.py:157-190 +
+  balloon_arena.py:184-202)."""
+  balloon = balloon_lib.simulate_step(
+      params.balloon, state.atmosphere, state.balloon, state.wind_u,
+      state.wind_v, jnp.asarray(action, jnp.int32))
+
+  # New measurement at the new position/time.
+  elapsed = balloon.time_elapsed_s.astype(jnp.float32)
+  wind_u, wind_v = wind_field_lib.get_ground_truth(
+      state.wind, balloon.x_m, balloon.y_m, balloon.pressure_pa, elapsed)
+
+  state = state.replace(
+      balloon=balloon,
+      wind_u=wind_u,
+      wind_v=wind_v,
+      sunrise_s=_advance_past(state.sunrise_s, balloon.time_s),
+      sunset_s=_advance_past(state.sunset_s, balloon.time_s),
+      steps=state.steps + 1)
+
+  state, obs = _observe_and_features(params, state)
+
+  excess = balloon_lib.excess_energy(params.balloon, balloon)
+  reward = reward_function(params, balloon, excess)
+
+  out_of_power = balloon.status == balloon_lib.STATUS_OUT_OF_POWER
+  burst = balloon.status == balloon_lib.STATUS_BURST
+  zeropressure = balloon.status == balloon_lib.STATUS_ZEROPRESSURE
+  done = balloon.status != balloon_lib.STATUS_OK
+  info = {
+      'out_of_power': out_of_power,
+      'envelope_burst': burst,
+      'zeropressure': zeropressure,
+      'time_elapsed_s': balloon.time_elapsed_s,
+      'x_km': balloon.x_m / 1000.0,
+      'y_km': balloon.y_m / 1000.0,
+      'pressure_pa': balloon.pressure_pa,
+      'superpressure_pa': balloon.superpressure_pa,
+      'battery_soc': balloon_lib.battery_soc(params.balloon, balloon),
+  }
+  return StepOutput(state, obs, reward, done, info)
+
+
+def make_field_fn(kind: str = 'generative', decoder_params=None):
+  """Returns a `field_fn` for reset().
+
+  kinds: 'generative' (VAE decode; decoder_params required),
+         'static' (4-direction test field, reference wind_field.py:149-184).
+  """
+  if kind == 'generative':
+    from ble_tpu.generative import vae
+    if decoder_params is None:
+      raise ValueError('generative field needs decoder_params')
+    return lambda key: vae.sample_field(decoder_params, key)
+  elif kind == 'static':
+    return lambda key: wind_field_lib.simple_static_field()
+  raise ValueError(f'unknown wind field kind: {kind}')
