@@ -1,0 +1,89 @@
+"""Headline benchmark: env-steps/s/chip at 4096 vectorized envs.
+
+Measures the fully fused environment step (physics substeps + wind
+interpolation + simplex noise + GP feature construction + reward) with
+generative VAE wind fields, vmapped over 4096 envs under jit, on one chip.
+
+Baseline: the reference runs ~9 env-steps/s on one GPU including the agent
+(docs/getting_started.rst:127-133; BASELINE.md). vs_baseline is the speedup
+over that number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+NUM_ENVS = int(os.environ.get('BENCH_NUM_ENVS', '4096'))
+NUM_STEPS = int(os.environ.get('BENCH_NUM_STEPS', '32'))
+BASELINE_STEPS_PER_S = 9.0
+
+
+def main():
+  backend = jax.default_backend()
+  num_envs = NUM_ENVS
+  if backend == 'cpu':
+    num_envs = min(num_envs, 256)
+
+  from ble_tpu.env import env as env_lib
+  from ble_tpu.agents import station_seeker
+  from ble_tpu.generative import vae
+
+  decoder_params = vae.init_decoder_params(jax.random.PRNGKey(0))
+  env_params = env_lib.EnvParams()
+  field_fn = env_lib.make_field_fn('generative', decoder_params)
+
+  reset_b = jax.jit(jax.vmap(
+      functools.partial(env_lib.reset, params=env_params, field_fn=field_fn)))
+
+  def rollout(state, obs, keys):
+    def body(carry, key):
+      state, obs = carry
+      # Random policy (BASELINE config 3: 4096 envs, random agent).
+      actions = jax.random.randint(key, (num_envs,), 0, 3)
+      out = jax.vmap(functools.partial(env_lib.step, env_params))(state,
+                                                                  actions)
+      return (out.state, out.observation), out.reward
+    (state, obs), rewards = jax.lax.scan(body, (state, obs), keys)
+    return state, obs, rewards
+
+  rollout = jax.jit(rollout)
+
+  keys = jax.random.split(jax.random.PRNGKey(42), num_envs)
+  state, obs = reset_b(keys)
+  jax.block_until_ready(obs)
+
+  step_keys = jax.random.split(jax.random.PRNGKey(7), NUM_STEPS)
+  # Warmup / compile.
+  state, obs, rewards = rollout(state, obs, step_keys)
+  jax.block_until_ready(rewards)
+
+  # Timed runs.
+  times = []
+  for i in range(3):
+    ks = jax.random.split(jax.random.PRNGKey(100 + i), NUM_STEPS)
+    t0 = time.perf_counter()
+    state, obs, rewards = rollout(state, obs, ks)
+    jax.block_until_ready(rewards)
+    times.append(time.perf_counter() - t0)
+
+  best = min(times)
+  env_steps_per_s = num_envs * NUM_STEPS / best
+
+  print(json.dumps({
+      'metric': f'env-steps/s/chip ({num_envs} envs, generative winds, '
+                f'{backend})',
+      'value': round(env_steps_per_s, 1),
+      'unit': 'env-steps/s',
+      'vs_baseline': round(env_steps_per_s / BASELINE_STEPS_PER_S, 1),
+  }))
+
+
+if __name__ == '__main__':
+  main()

@@ -1,0 +1,152 @@
+"""On-device circular replay for vectorized actors.
+
+The reference feeds a C++ Reverb server / Dopamine's host-RAM
+OutOfGraphReplayBuffer over RPC (SURVEY.md 2.6); here replay is a pytree
+of device arrays laid out (envs, time_ring, ...): every env writes its
+transition each step at the same ring cursor (lockstep episodes), and
+n-step returns are computed at sample time from the stored reward/terminal
+lanes -- no host round-trips, no serialization, compatible with sharding
+the env axis across chips.
+
+Capacity = num_envs * ring_len (the reference uses 2M transitions,
+e.g. 4096 envs x 512 slots).
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class ReplayConfig:
+  ring_len: int = 512
+  n_step: int = 5
+  gamma: float = 0.993
+  batch_size: int = 32
+
+
+@struct.dataclass
+class ReplayState:
+  obs: jnp.ndarray  # (E, T, obs_dim)
+  action: jnp.ndarray  # (E, T) int32
+  reward: jnp.ndarray  # (E, T) float32
+  terminal: jnp.ndarray  # (E, T) bool: episode ended AT this step.
+  valid: jnp.ndarray  # (E, T) bool: transition written and pre-terminal.
+  episode_step: jnp.ndarray  # (E, T) int32: step index within episode.
+  total: jnp.ndarray  # int32, global steps written (shared cursor).
+
+
+def init(num_envs: int, obs_dim: int, config: ReplayConfig,
+         obs_dtype=jnp.float32) -> ReplayState:
+  t = config.ring_len
+  return ReplayState(
+      obs=jnp.zeros((num_envs, t, obs_dim), obs_dtype),
+      action=jnp.zeros((num_envs, t), jnp.int32),
+      reward=jnp.zeros((num_envs, t), jnp.float32),
+      terminal=jnp.zeros((num_envs, t), jnp.bool_),
+      valid=jnp.zeros((num_envs, t), jnp.bool_),
+      episode_step=jnp.zeros((num_envs, t), jnp.int32),
+      total=jnp.int32(0))
+
+
+def add(state: ReplayState, config: ReplayConfig, obs, action, reward,
+        terminal, active, episode_step) -> ReplayState:
+  """Writes one lockstep batch of transitions (obs_t, a_t, r_t).
+
+  Args:
+    obs: (E, obs_dim) observations BEFORE the action.
+    action, reward, terminal: (E,) transition data.
+    active: (E,) whether the env was still live at this step (frozen
+      post-terminal balloons write invalid slots).
+    episode_step: (E,) step index within the current episode.
+  """
+  slot = state.total % config.ring_len
+  upd = lambda buf, new: buf.at[:, slot].set(new)
+  return ReplayState(
+      obs=upd(state.obs, obs.astype(state.obs.dtype)),
+      action=upd(state.action, action.astype(jnp.int32)),
+      reward=upd(state.reward, reward),
+      terminal=upd(state.terminal, terminal),
+      valid=upd(state.valid, active),
+      episode_step=upd(state.episode_step, episode_step),
+      total=state.total + 1)
+
+
+def sample(state: ReplayState, config: ReplayConfig, key: jax.Array):
+  """Uniform n-step sample (Dopamine update_horizon semantics).
+
+  Returns a dict with (B, ...) leaves:
+    obs, action, n_step_return-free pieces: `rewards` already discounted and
+    summed, `bootstrap_discount` (gamma^n or 0 if the horizon hit a
+    terminal), `next_obs` (at t+n, clamped), and `weight` in {0, 1}
+    zeroing incoherent samples (episode boundary / unwritten slots).
+  """
+  n = config.n_step
+  t_ring = config.ring_len
+  env_key, time_key = jax.random.split(key)
+
+  num_envs = state.obs.shape[0]
+  env_idx = jax.random.randint(env_key, (config.batch_size,), 0, num_envs)
+
+  # Sample a global step with a full n-step window not overlapping the
+  # write cursor: g in [total - t_ring + n... wait, window uses g..g+n, so
+  # g in [max(0, total - t_ring), total - n - 1].
+  oldest = jnp.maximum(0, state.total - t_ring)
+  hi = jnp.maximum(oldest + 1, state.total - n)
+  g = oldest + (jax.random.randint(time_key, (config.batch_size,), 0,
+                                   jnp.iinfo(jnp.int32).max) %
+                jnp.maximum(hi - oldest, 1))
+
+  slots = (g[:, None] + jnp.arange(n + 1)[None, :]) % t_ring  # (B, n+1)
+
+  def gather(buf):
+    return buf[env_idx[:, None], slots]
+
+  rewards = gather(state.reward)[:, :n]  # (B, n)
+  terminals = gather(state.terminal)[:, :n]
+  valids = gather(state.valid)
+  ep_steps = gather(state.episode_step)
+
+  # Mask rewards after the first terminal inside the window.
+  not_term_before = jnp.cumprod(
+      jnp.concatenate([jnp.ones_like(terminals[:, :1]),
+                       1 - terminals[:, :-1].astype(jnp.int32)], axis=1),
+      axis=1).astype(jnp.float32)  # (B, n): 1 until (incl.) first terminal.
+  discounts = config.gamma ** jnp.arange(n)
+  n_step_reward = jnp.sum(rewards * discounts * not_term_before, axis=1)
+
+  hit_terminal = jnp.any(terminals, axis=1)
+  bootstrap = jnp.where(hit_terminal, 0.0, config.gamma ** n)
+
+  obs = gather(state.obs)[:, 0].astype(jnp.float32)
+  next_obs = gather(state.obs)[:, n].astype(jnp.float32)
+  action = gather(state.action)[:, 0]
+
+  # Coherence: base slot valid, and the window stays within one episode up
+  # to the first terminal (episode_step increments by 1 per slot).
+  expected = ep_steps[:, :1] + jnp.arange(n + 1)[None, :]
+  coherent_steps = ep_steps == expected
+  # Only slots up to the bootstrap target need coherence; slots after a
+  # terminal contribute nothing (rewards masked, bootstrap zeroed).
+  need = jnp.concatenate([not_term_before > 0,
+                          jnp.logical_not(hit_terminal)[:, None]], axis=1)
+  coherent = jnp.all(jnp.logical_or(coherent_steps, ~need), axis=1)
+  base_ok = valids[:, 0]
+  weight = jnp.logical_and(coherent, base_ok).astype(jnp.float32)
+
+  return {
+      'obs': obs,
+      'action': action,
+      'n_step_reward': n_step_reward,
+      'bootstrap_discount': bootstrap,
+      'next_obs': next_obs,
+      'weight': weight,
+  }
+
+
+def can_sample(state: ReplayState, config: ReplayConfig,
+               min_history: int) -> jnp.ndarray:
+  return state.total > (min_history // max(state.obs.shape[0], 1) +
+                        config.n_step)

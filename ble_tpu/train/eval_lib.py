@@ -1,0 +1,215 @@
+"""Vectorized evaluation: a whole suite of seeds in one lax.scan.
+
+Re-design of the reference per-seed Python eval loop
+(``eval/eval_lib.py:123-211``): all seeds roll in lockstep as a vmapped
+batch, the 960-step episode is a `lax.scan`, and terminal envs are masked
+(the reference breaks out of its loop). Semantics preserved:
+
+  - reward accumulates through the terminal step inclusive;
+  - time_within_radius = steps_within_radius / steps_taken;
+  - terminal causes and final_timestep per seed.
+
+Sharding across devices (the reference's --num_shards CLI) becomes a
+jax.sharding positional sharding of the seed batch (see
+ble_tpu/parallel/).
+"""
+
+import dataclasses
+import functools
+import json
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ble_tpu.env import env as env_lib
+
+
+@dataclasses.dataclass
+class EvaluationResult:
+  """Per-seed result (reference eval_lib.py:83-121)."""
+  seed: int
+  cumulative_reward: float
+  time_within_radius: float
+  out_of_power: bool
+  envelope_burst: bool
+  zeropressure: bool
+  final_timestep: int
+  flight_path: Optional[List[Dict[str, float]]] = None
+
+  def __str__(self):
+    return (f'EvaluationResult(seed={self.seed}, '
+            f'cumulative_reward={self.cumulative_reward}, '
+            f'time_within_radius={self.time_within_radius}, '
+            f'out_of_power={self.out_of_power}, '
+            f'final_timestep={self.final_timestep})')
+
+
+def seed_to_key(seed):
+  """Matches the reference's split structure: env.seed makes PRNGKey(seed)
+  and reset hands the arena the second split (balloon_env.py:253,213)."""
+  return jax.random.split(jax.random.PRNGKey(seed))[1]
+
+
+def build_eval_fn(env_params: env_lib.EnvParams,
+                  field_fn: Callable,
+                  policy_init: Callable,
+                  policy_step: Callable,
+                  max_steps: int = 960,
+                  record_flight_path: bool = False):
+  """Returns a jitted function evaluating a batch of seeds.
+
+  Args:
+    env_params: environment parameters.
+    field_fn: wind field sampler for reset.
+    policy_init: key -> policy state (per env).
+    policy_step: (policy_state, obs, key) -> (policy_state, action).
+    max_steps: episode cap (suites use 960).
+    record_flight_path: also return (B, T, 6) [x_km, y_km, pressure, super-
+      pressure, elapsed_s, soc] trajectories.
+
+  Returns:
+    eval_fn(seeds: int32 (B,)) -> dict of result arrays.
+  """
+  reset = functools.partial(env_lib.reset, params=env_params,
+                            field_fn=field_fn)
+  step = functools.partial(env_lib.step, env_params)
+  radius_km = env_params.station_keeping_radius_km
+
+  def single(seed):
+    key = seed_to_key(seed)
+    env_state, obs = reset(key)
+    pkey, akey = jax.random.split(jax.random.fold_in(key, 1))
+    pstate = policy_init(pkey)
+    pstate, action = policy_step(pstate, obs, akey)
+
+    def body(carry, step_key):
+      env_state, pstate, action, active, acc = carry
+      out = step(env_state, action)
+      dist_km = jnp.sqrt(out.state.balloon.x_m ** 2 +
+                         out.state.balloon.y_m ** 2) / 1000.0
+      acc = {
+          'reward': acc['reward'] + jnp.where(active, out.reward, 0.0),
+          'within': acc['within'] + jnp.where(
+              jnp.logical_and(active, dist_km <= radius_km), 1, 0),
+          'steps': acc['steps'] + jnp.where(active, 1, 0),
+          'out_of_power': jnp.logical_or(
+              acc['out_of_power'],
+              jnp.logical_and(active, out.info['out_of_power'])),
+          'burst': jnp.logical_or(
+              acc['burst'],
+              jnp.logical_and(active, out.info['envelope_burst'])),
+          'zeropressure': jnp.logical_or(
+              acc['zeropressure'],
+              jnp.logical_and(active, out.info['zeropressure'])),
+      }
+      active = jnp.logical_and(active, jnp.logical_not(out.done))
+      pstate, action = policy_step(pstate, out.observation, step_key)
+      path = None
+      if record_flight_path:
+        b = out.state.balloon
+        path = jnp.stack([
+            b.x_m / 1000.0, b.y_m / 1000.0, b.pressure_pa,
+            b.superpressure_pa, b.time_elapsed_s.astype(jnp.float32),
+            out.info['battery_soc']])
+      return (out.state, pstate, action, active, acc), path
+
+    acc0 = {
+        'reward': jnp.float32(0.0),
+        'within': jnp.int32(0),
+        'steps': jnp.int32(0),
+        'out_of_power': jnp.bool_(False),
+        'burst': jnp.bool_(False),
+        'zeropressure': jnp.bool_(False),
+    }
+    step_keys = jax.random.split(jax.random.fold_in(key, 2), max_steps)
+    (env_state, _, _, _, acc), paths = jax.lax.scan(
+        body, (env_state, pstate, action, jnp.bool_(True), acc0), step_keys)
+
+    result = {
+        'cumulative_reward': acc['reward'],
+        'time_within_radius': acc['within'].astype(jnp.float32) /
+                              jnp.maximum(acc['steps'], 1),
+        'final_timestep': acc['steps'],
+        'out_of_power': acc['out_of_power'],
+        'envelope_burst': acc['burst'],
+        'zeropressure': acc['zeropressure'],
+    }
+    if record_flight_path:
+      result['flight_path'] = paths
+    return result
+
+  return jax.jit(jax.vmap(single))
+
+
+def evaluate(eval_fn, seeds: Sequence[int], batch_size: int = 0
+             ) -> List[EvaluationResult]:
+  """Runs eval_fn over seeds (optionally chunked) and unpacks results."""
+  seeds = np.asarray(seeds, np.int32)
+  if batch_size <= 0:
+    batch_size = len(seeds)
+  chunks = []
+  for start in range(0, len(seeds), batch_size):
+    chunk = seeds[start:start + batch_size]
+    pad = batch_size - len(chunk)
+    padded = np.concatenate([chunk, np.zeros(pad, np.int32)]) if pad else chunk
+    out = jax.tree.map(np.asarray, eval_fn(jnp.asarray(padded)))
+    if pad:
+      out = jax.tree.map(lambda x: x[:len(chunk)], out)
+    chunks.append(out)
+  merged = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
+
+  results = []
+  for i, seed in enumerate(seeds):
+    fp = None
+    if 'flight_path' in merged:
+      steps = int(merged['final_timestep'][i])
+      fp = [
+          {'x': float(row[0]), 'y': float(row[1]), 'pressure': float(row[2]),
+           'superpressure': float(row[3]), 'elapsed_seconds': float(row[4]),
+           'power': float(row[5])}
+          for row in merged['flight_path'][i][:steps]
+      ]
+    results.append(EvaluationResult(
+        seed=int(seed),
+        cumulative_reward=float(merged['cumulative_reward'][i]),
+        time_within_radius=float(merged['time_within_radius'][i]),
+        out_of_power=bool(merged['out_of_power'][i]),
+        envelope_burst=bool(merged['envelope_burst'][i]),
+        zeropressure=bool(merged['zeropressure'][i]),
+        final_timestep=int(merged['final_timestep'][i]),
+        flight_path=fp))
+  return results
+
+
+def write_results_json(results: List[EvaluationResult], path: str,
+                       agent_name: str = '', suite_name: str = '') -> None:
+  """JSON output compatible in spirit with reference eval/eval.py:75-96."""
+  payload = {
+      'agent': agent_name,
+      'suite': suite_name,
+      'results': [dataclasses.asdict(r) for r in results],
+  }
+  with open(path, 'w') as f:
+    json.dump(payload, f)
+
+
+def combine_shard_results(paths: Sequence[str]) -> List[Dict[str, Any]]:
+  """Merges per-shard JSON outputs (reference eval/combine_eval_shards.py)."""
+  combined = []
+  for p in paths:
+    with open(p) as f:
+      combined.extend(json.load(f)['results'])
+  combined.sort(key=lambda r: r['seed'])
+  return combined
+
+
+def summarize(results: List[EvaluationResult]) -> Dict[str, float]:
+  return {
+      'mean_cumulative_reward': float(
+          np.mean([r.cumulative_reward for r in results])),
+      'mean_twr': float(np.mean([r.time_within_radius for r in results])),
+      'num_terminated': int(sum(r.final_timestep < 960 for r in results)),
+      'num_seeds': len(results),
+  }

@@ -1,0 +1,185 @@
+"""Training stack tests: replay n-step semantics, QR-DQN learner step,
+MarcoPolo phases, vectorized actor-learner, and the sharded multi-chip
+step on an 8-device CPU mesh (the reference ships no distributed tests;
+SURVEY.md section 4)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ble_tpu.agents import marco_polo
+from ble_tpu.agents import qrdqn
+from ble_tpu.agents import replay as replay_lib
+from ble_tpu.env import env as env_lib
+from ble_tpu.parallel import distributed
+from ble_tpu.train import learner as learner_lib
+
+
+def _small_qrdqn(**kw):
+  return qrdqn.QrDqnConfig(num_layers=2, hidden_units=32, num_atoms=11,
+                           min_replay_history=8, **kw)
+
+
+def test_replay_n_step_return():
+  cfg = replay_lib.ReplayConfig(ring_len=32, n_step=3, gamma=0.5,
+                                batch_size=64)
+  state = replay_lib.init(num_envs=1, obs_dim=2, config=cfg)
+  # Write 10 steps with reward = step index; no terminals.
+  for t in range(10):
+    state = replay_lib.add(
+        state, cfg, jnp.full((1, 2), float(t)), jnp.ones((1,), jnp.int32),
+        jnp.full((1,), float(t)), jnp.zeros((1,), bool),
+        jnp.ones((1,), bool), jnp.full((1,), t, jnp.int32))
+  batch = replay_lib.sample(state, cfg, jax.random.PRNGKey(0))
+  # For base step t: return = t + 0.5(t+1) + 0.25(t+2); next_obs = t+3.
+  t0 = np.asarray(batch['obs'])[:, 0]
+  expected = t0 + 0.5 * (t0 + 1) + 0.25 * (t0 + 2)
+  np.testing.assert_allclose(np.asarray(batch['n_step_reward']), expected,
+                             rtol=1e-6)
+  np.testing.assert_allclose(np.asarray(batch['next_obs'])[:, 0], t0 + 3)
+  assert np.all(np.asarray(batch['bootstrap_discount']) == 0.5 ** 3)
+  assert np.all(np.asarray(batch['weight']) == 1.0)
+
+
+def test_replay_terminal_cuts_bootstrap():
+  cfg = replay_lib.ReplayConfig(ring_len=32, n_step=3, gamma=1.0,
+                                batch_size=256)
+  state = replay_lib.init(num_envs=1, obs_dim=1, config=cfg)
+  # Steps 0..5; terminal at step 2.
+  for t in range(6):
+    state = replay_lib.add(
+        state, cfg, jnp.full((1, 1), float(t)), jnp.ones((1,), jnp.int32),
+        jnp.full((1,), 1.0), jnp.asarray([t == 2]),
+        jnp.asarray([t <= 2]), jnp.full((1,), t, jnp.int32))
+  batch = replay_lib.sample(state, cfg, jax.random.PRNGKey(1))
+  t0 = np.asarray(batch['obs'])[:, 0].astype(int)
+  boot = np.asarray(batch['bootstrap_discount'])
+  rew = np.asarray(batch['n_step_reward'])
+  w = np.asarray(batch['weight'])
+  for i in range(len(t0)):
+    if t0[i] == 0:  # window [0,1,2]: hits terminal at 2 -> no bootstrap.
+      assert boot[i] == 0.0 and rew[i] == 3.0 and w[i] == 1.0
+    if t0[i] == 1:  # window [1,2]: terminal at 2 -> rewards 1+1.
+      assert boot[i] == 0.0 and rew[i] == 2.0 and w[i] == 1.0
+    if t0[i] in (3, 4, 5):  # post-terminal slots are invalid.
+      assert w[i] == 0.0
+
+
+def test_qrdqn_learner_reduces_loss():
+  cfg = _small_qrdqn()
+  state = qrdqn.init(jax.random.PRNGKey(0), cfg, obs_dim=8)
+  rng = np.random.RandomState(0)
+  batch = {
+      'obs': jnp.asarray(rng.randn(32, 8), jnp.float32),
+      'action': jnp.asarray(rng.randint(0, 3, 32)),
+      'n_step_reward': jnp.asarray(rng.rand(32), jnp.float32),
+      'bootstrap_discount': jnp.zeros((32,)),
+      'next_obs': jnp.asarray(rng.randn(32, 8), jnp.float32),
+      'weight': jnp.ones((32,)),
+  }
+  fast_cfg = cfg.replace(learning_rate=1e-3)
+  step = jax.jit(functools.partial(qrdqn.train_step, fast_cfg))
+  losses = []
+  for _ in range(60):
+    state, metrics = step(state, batch)
+    losses.append(float(metrics['loss']))
+  assert losses[-1] < losses[0] * 0.9
+  assert int(state.train_steps) == 60
+
+
+def test_qrdqn_target_sync():
+  cfg = _small_qrdqn(target_update_period=2)
+  state = qrdqn.init(jax.random.PRNGKey(0), cfg, obs_dim=4)
+  batch = {
+      'obs': jnp.ones((4, 4)), 'action': jnp.zeros((4,), jnp.int32),
+      'n_step_reward': jnp.ones((4,)), 'bootstrap_discount': jnp.zeros((4,)),
+      'next_obs': jnp.ones((4, 4)), 'weight': jnp.ones((4,)),
+  }
+  state, _ = qrdqn.train_step(cfg, state, batch)
+  # After 1 step, target != params.
+  diff = jax.tree.reduce(
+      lambda a, b: a + b,
+      jax.tree.map(lambda p, t: float(jnp.sum(jnp.abs(p - t))),
+                   state.params, state.target_params))
+  assert diff > 0.0
+  state, _ = qrdqn.train_step(cfg, state, batch)
+  # After 2 steps (period 2), target == params.
+  diff = jax.tree.reduce(
+      lambda a, b: a + b,
+      jax.tree.map(lambda p, t: float(jnp.sum(jnp.abs(p - t))),
+                   state.params, state.target_params))
+  assert diff == 0.0
+
+
+def test_marco_polo_phases():
+  key = jax.random.PRNGKey(3)
+  # Force an exploratory episode.
+  state = marco_polo.begin_episode(key, probability=1.0)
+  assert not bool(state.exploratory_phase)
+  obs = jnp.zeros((1099,))
+  # RL phase for the first 79 steps, flips at step 80.
+  for i in range(marco_polo.RL_PHASE_STEPS):
+    state, action = marco_polo.step(state, obs, jnp.int32(1),
+                                    jax.random.fold_in(key, i))
+  assert bool(state.exploratory_phase)
+  # Exploratory phase lasts 40 steps then flips back.
+  for i in range(marco_polo.EXPLORATORY_PHASE_STEPS):
+    state, action = marco_polo.step(state, obs, jnp.int32(1),
+                                    jax.random.fold_in(key, 1000 + i))
+  assert not bool(state.exploratory_phase)
+
+  # Non-exploratory episodes never flip and pass the RL action through.
+  state = marco_polo.begin_episode(key, probability=0.0)
+  for i in range(100):
+    state, action = marco_polo.step(state, obs, jnp.int32(2),
+                                    jax.random.fold_in(key, i))
+    assert int(action) == 2
+  assert not bool(state.exploratory_phase)
+
+
+@pytest.mark.slow
+def test_actor_learner_smoke():
+  config = learner_lib.TrainConfig(
+      num_envs=4, samples_per_insert=8.0,
+      qrdqn=_small_qrdqn(),
+      replay=replay_lib.ReplayConfig(ring_len=64, batch_size=8))
+  env_params = env_lib.EnvParams()
+  field_fn = env_lib.make_field_fn('static')
+  ts = learner_lib.init_train_state(jax.random.PRNGKey(0), env_params,
+                                    field_fn, config)
+  step = jax.jit(functools.partial(learner_lib.run_episode_chunk, config,
+                                   env_params, num_steps=12))
+  ts, metrics = step(ts)
+  assert int(ts.env_steps) == 12
+  assert metrics['reward'].shape == (12,)
+  assert np.all(np.isfinite(np.asarray(metrics['reward'])))
+  # Learner kicked in once replay warmed up.
+  assert int(ts.learner.train_steps) > 0
+  assert int(ts.replay.total) == 12
+
+
+@pytest.mark.slow
+def test_distributed_step_8_devices():
+  assert len(jax.devices()) == 8
+  mesh = distributed.make_mesh()
+  config = learner_lib.TrainConfig(
+      num_envs=16, samples_per_insert=8.0,
+      qrdqn=_small_qrdqn(),
+      replay=replay_lib.ReplayConfig(ring_len=32, batch_size=8))
+  env_params = env_lib.EnvParams()
+  field_fn = env_lib.make_field_fn('static')
+  ts = distributed.init_distributed_train_state(
+      jax.random.PRNGKey(0), mesh, config, env_params, field_fn)
+  step = distributed.build_distributed_step(mesh, config, env_params,
+                                            num_steps=6)
+  ts, metrics = step(ts)
+  assert int(ts.env_steps) == 6
+  assert np.all(np.isfinite(np.asarray(metrics['reward'])))
+  # Learner params stayed replicated across shards.
+  leaf = jax.tree.leaves(ts.learner.params)[0]
+  assert np.all(np.isfinite(np.asarray(leaf)))
+  ts, metrics = step(ts)
+  assert int(ts.env_steps) == 12
