@@ -41,6 +41,7 @@ def main():
 
   reset_b = jax.jit(jax.vmap(
       functools.partial(env_lib.reset, params=env_params, field_fn=field_fn)))
+  reset_chunk = int(os.environ.get('BENCH_RESET_CHUNK', '512'))
 
   def rollout(state, obs, keys):
     def body(carry, key):
@@ -55,8 +56,13 @@ def main():
 
   rollout = jax.jit(rollout)
 
+  # Reset in chunks: the one-time reset (VAE decode + sunrise search) has a
+  # larger live set than the steady-state step.
   keys = jax.random.split(jax.random.PRNGKey(42), num_envs)
-  state, obs = reset_b(keys)
+  parts = [reset_b(keys[i:i + reset_chunk])
+           for i in range(0, num_envs, reset_chunk)]
+  state = jax.tree.map(lambda *xs: jnp.concatenate(xs), *[p[0] for p in parts])
+  obs = jnp.concatenate([p[1] for p in parts])
   jax.block_until_ready(obs)
 
   step_keys = jax.random.split(jax.random.PRNGKey(7), NUM_STEPS)

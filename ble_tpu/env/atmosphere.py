@@ -81,9 +81,15 @@ def _select_layer(mask_upper):
 
 
 def _gather_layer(table, idx):
-  """table[..., idx] with broadcasting between table batch dims and idx."""
-  table_b = jnp.broadcast_to(table, idx.shape + table.shape[-1:])
-  return jnp.take_along_axis(table_b, idx[..., None], axis=-1)[..., 0]
+  """table[..., idx] with broadcasting between table batch dims and idx.
+
+  Implemented as a one-hot masked sum over the (tiny) layer axis: XLA on
+  TPU lowers batched-operand gathers to serialized selects, while this is
+  a handful of fused VPU multiply-adds.
+  """
+  n = table.shape[-1]
+  onehot = jnp.arange(n) == idx[..., None]  # (..., n)
+  return jnp.sum(jnp.where(onehot, table, 0.0), axis=-1)
 
 
 def at_pressure(params: AtmosphereParams, pressure):

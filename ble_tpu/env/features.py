@@ -162,11 +162,16 @@ def wind_column_features(params, state: balloon_lib.BalloonState,
   out_idx = jnp.arange(2 * NUM_PRESSURE_LEVELS - 1)
   src = out_idx - (NUM_PRESSURE_LEVELS - 1) + balloon_level
   in_bounds = jnp.logical_and(src >= 0, src < NUM_PRESSURE_LEVELS)
-  src_c = jnp.clip(src, 0, NUM_PRESSURE_LEVELS - 1)
-  valid = jnp.logical_and(in_bounds, reachable[src_c])
+  # One-hot contraction instead of a batched-operand gather (slow on TPU):
+  # onehot (361, 181) has one nonzero per in-bounds output level.
+  onehot = (src[:, None] == jnp.arange(NUM_PRESSURE_LEVELS)[None, :]).astype(
+      jnp.float32)
+  gathered = onehot @ level_data  # (361, 3)
+  reach = (onehot @ reachable.astype(jnp.float32)) > 0.5
+  valid = jnp.logical_and(in_bounds, reach)
 
   unreachable_row = jnp.asarray([0.0, 1.0, 1.0], jnp.float32)
-  return jnp.where(valid[:, None], level_data[src_c], unreachable_row)
+  return jnp.where(valid[:, None], gathered, unreachable_row)
 
 
 def get_features(params, state: balloon_lib.BalloonState,

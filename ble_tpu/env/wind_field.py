@@ -21,7 +21,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from ble_tpu.env import simplex_noise
-from ble_tpu.ops import interp
 
 # FieldShape constants (reference generative/vae.py:27-44).
 LATLNG_SLICES = 21
@@ -74,30 +73,59 @@ def _boomerang_hours(elapsed_s):
   return jnp.where(backward, TIME_HORIZON_HOURS - remainder, remainder)
 
 
+def _axis_weights(coord, n: int, lo: float, hi: float):
+  """Linear-interpolation weights as a dense (..., n) one-hot-pair vector.
+
+  XLA on TPU lowers batched-operand gathers to serialized selects, so
+  instead of gathering grid corners we build the (two-nonzero) weight
+  vector per axis and CONTRACT it with the grid -- pure MXU work. Input is
+  clamped to the grid (edge extension, as the reference's interpn
+  fill_value handling).
+  """
+  t = (jnp.asarray(coord, jnp.float32) - lo) / (hi - lo) * (n - 1)
+  t = jnp.clip(t, 0.0, n - 1)
+  i0 = jnp.clip(jnp.floor(t), 0, n - 2)
+  frac = t - i0
+  iota = jnp.arange(n, dtype=jnp.float32)
+  i0e = i0[..., None]
+  return (jnp.where(iota == i0e, (1.0 - frac)[..., None], 0.0) +
+          jnp.where(iota == i0e + 1.0, frac[..., None], 0.0))
+
+
+def effective_column(state: WindFieldState, x_m, y_m, elapsed_s):
+  """(..., 10, 2) wind column at (x, y, t): the field contracted over the
+  lat/lng/time axes with linear weights. One MXU contraction replaces the
+  reference's scipy.interpn corner gathers."""
+  x_km = jnp.asarray(x_m, jnp.float32) / 1000.0
+  y_km = jnp.asarray(y_m, jnp.float32) / 1000.0
+  t_hours = _boomerang_hours(elapsed_s)
+  wx = _axis_weights(x_km, LATLNG_SLICES, -LATLNG_DISPLACEMENT_KM,
+                     LATLNG_DISPLACEMENT_KM)
+  wy = _axis_weights(y_km, LATLNG_SLICES, -LATLNG_DISPLACEMENT_KM,
+                     LATLNG_DISPLACEMENT_KM)
+  wt = _axis_weights(t_hours, TIME_SLICES, 0.0, TIME_HORIZON_HOURS)
+  return jnp.einsum('...x,...y,...t,...xyptc->...pc', wx, wy, wt,
+                    state.field)
+
+
 def get_forecast(state: WindFieldState, x_m, y_m, pressure_pa, elapsed_s):
   """Forecast (u, v) [m/s] at one or a column of query points.
 
   Args:
     state: the wind field (leaves may carry leading batch axes if vmapped).
-    x_m, y_m: offsets from the station [m].
-    pressure_pa: pressure(s); may carry extra trailing axes for columns.
+    x_m, y_m: offsets from the station [m]; scalars (per env).
+    pressure_pa: pressure(s); may carry an extra trailing axis for columns.
     elapsed_s: seconds since the field epoch.
 
   Returns:
     (u, v) arrays broadcast over the query shape.
   """
-  x_km = jnp.clip(jnp.asarray(x_m, jnp.float32) / 1000.0,
-                  -LATLNG_DISPLACEMENT_KM, LATLNG_DISPLACEMENT_KM)
-  y_km = jnp.clip(jnp.asarray(y_m, jnp.float32) / 1000.0,
-                  -LATLNG_DISPLACEMENT_KM, LATLNG_DISPLACEMENT_KM)
-  pressure = jnp.clip(jnp.asarray(pressure_pa, jnp.float32), MIN_PRESSURE_PA,
-                      MAX_PRESSURE_PA)
-  t_hours = _boomerang_hours(elapsed_s)
-
-  x_km, y_km, pressure, t_hours = jnp.broadcast_arrays(
-      x_km, y_km, pressure, t_hours)
-  points = jnp.stack([x_km, y_km, pressure, t_hours], axis=-1)
-  uv = interp.interp4d(state.field, _AXES, points)
+  column = effective_column(state, x_m, y_m, elapsed_s)  # (..., 10, 2)
+  wp = _axis_weights(pressure_pa, PRESSURE_SLICES, MIN_PRESSURE_PA,
+                     MAX_PRESSURE_PA)  # (..., [P,] 10)
+  uv = jnp.einsum('...n,...nc->...c', wp,
+                  column[..., None, :, :] if wp.ndim > column.ndim - 1
+                  else column)
   return uv[..., 0], uv[..., 1]
 
 

@@ -1,21 +1,29 @@
-"""Gaussian-process wind estimator on a fixed-capacity observation ring.
+"""Gaussian-process wind estimator with an incrementally-updated inverse.
 
 The reference refits a scikit-learn `GaussianProcessRegressor` (Matern
 nu=0.5, fixed hyperparameters) from scratch on every feature construction
-(``env/wind_gp.py:143-215``) -- the single hottest CPU path in the whole
-benchmark (SURVEY.md 3.1). Here the GP is a pytree:
+(``env/wind_gp.py:143-215``) -- the hottest CPU path in the benchmark
+(SURVEY.md 3.1). A direct port (batched Cholesky per step) is already
+~1000x faster, but TPU factorizations are sequential-panel loops; instead
+we exploit the streaming structure of the problem:
 
-  - observations live in a fixed (CAPACITY, 4) ring buffer; at the 3-minute
-    agent cadence the reference's 6-hour freshness window can hold at most
-    121 observations, so CAPACITY=128 loses nothing;
-  - the per-query "fit" is one masked Cholesky solve, batched over envs by
-    vmap -- stale/empty slots get identity rows and zero targets so they
-    contribute exactly nothing, reproducing sklearn's drop-stale-then-fit
-    behavior (wind_gp.py:179-186).
+  - exactly ONE observation arrives per agent step (observe), and
+  - observations leave the 6-hour freshness window monotonically,
+
+so the masked kernel-matrix INVERSE is maintained by O(K^2) bordered
+updates (Sherman-Morrison block form) on insert and Schur-complement
+downdates on expiry -- a handful of rank-1 outer products per step, fully
+vectorizable over thousands of envs. A periodic exact refresh (one real
+solve) bounds float32 error accumulation; `REFRESH_PERIOD` trades its
+amortized cost against drift (see tests/test_wind.py trajectory test).
 
 Kernel and scalings match wind_gp.py:33-79: k(a, b) = sigma_f^2 *
 exp(-||(a-b)/ls||) with ls = (357 km, 357 km, 326 Pa, 34560 s), plus
-alpha=0.05 on the diagonal.
+alpha=0.05 on the diagonal. Invalid/stale slots are identity rows with
+zero targets, so they contribute exactly nothing.
+
+Capacity: at the 3-minute cadence the 6-hour window holds at most 121
+observations; CAPACITY=128 loses nothing.
 """
 
 import jax
@@ -29,11 +37,18 @@ LENGTH_SCALES = jnp.asarray([357000.0, 357000.0, 326.0, 34560.0], jnp.float32)
 SIGMA_EXP_SQUARED = 3.6 ** 2
 SIGMA_NOISE_SQUARED = 0.05
 
+# Exact-inverse refresh cadence (steps). The bordered updates are exact in
+# infinite precision; this just bounds f32 drift.
+REFRESH_PERIOD = 64
+
 
 @struct.dataclass
 class WindGPState:
   locations: jnp.ndarray  # (CAPACITY, 4): x_m, y_m, pressure_pa, time_s.
   errors: jnp.ndarray  # (CAPACITY, 2): measured - forecast (u, v).
+  active: jnp.ndarray  # (CAPACITY,) bool.
+  kinv: jnp.ndarray  # (CAPACITY, CAPACITY) inverse of the masked kernel.
+  alpha: jnp.ndarray  # (CAPACITY, 2) = kinv @ masked targets.
   count: jnp.ndarray  # int32, total observations ever written.
 
 
@@ -41,45 +56,138 @@ def init() -> WindGPState:
   return WindGPState(
       locations=jnp.zeros((CAPACITY, 4), jnp.float32),
       errors=jnp.zeros((CAPACITY, 2), jnp.float32),
+      active=jnp.zeros((CAPACITY,), jnp.bool_),
+      kinv=jnp.eye(CAPACITY, dtype=jnp.float32),
+      alpha=jnp.zeros((CAPACITY, 2), jnp.float32),
       count=jnp.int32(0))
+
+
+def _kernel(a, b):
+  """Matern nu=0.5 with anisotropic length scales; (..., N, 4) x
+  (..., M, 4) -> (..., N, M)."""
+  diff = (a[..., :, None, :] - b[..., None, :, :]) / LENGTH_SCALES
+  d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+  return SIGMA_EXP_SQUARED * jnp.exp(-d)
+
+
+def _kernel_vec(loc, locations):
+  """k(loc, locations): (4,) x (CAP, 4) -> (CAP,)."""
+  diff = (locations - loc) / LENGTH_SCALES
+  d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+  return SIGMA_EXP_SQUARED * jnp.exp(-d)
+
+
+def _downdate(kinv, active, slot_onehot):
+  """Removes one active slot from the inverse (Schur complement).
+
+  slot_onehot: (CAP,) float one-hot of the slot to remove (no-op if the
+  zero vector).
+  """
+  any_remove = jnp.sum(slot_onehot) > 0
+  col = kinv @ slot_onehot  # (CAP,) = kinv[:, s].
+  d = jnp.dot(slot_onehot, col)  # kinv[s, s] (1.0 for identity slots).
+  safe_d = jnp.where(jnp.abs(d) > 1e-20, d, 1.0)
+  kinv2 = kinv - jnp.outer(col, col) / safe_d
+  # Restore the removed slot to an identity row/col.
+  mask = 1.0 - slot_onehot
+  kinv2 = kinv2 * mask[:, None] * mask[None, :] + jnp.outer(slot_onehot,
+                                                            slot_onehot)
+  kinv = jnp.where(any_remove, kinv2, kinv)
+  active = jnp.logical_and(active, slot_onehot < 0.5)
+  return kinv, active
+
+
+def _insert(kinv, active, locations, loc, slot):
+  """Bordered-inverse insert of a new observation at `slot`."""
+  v = jnp.where(active, _kernel_vec(loc, locations), 0.0)  # (CAP,)
+  u = kinv @ v
+  d = SIGMA_EXP_SQUARED + SIGMA_NOISE_SQUARED
+  schur = d - jnp.dot(v, u)
+  schur = jnp.maximum(schur, 1e-6)
+  e = (jnp.arange(CAPACITY) == slot).astype(jnp.float32)
+  # Zero out the slot's identity row before bordering.
+  mask = 1.0 - e
+  kinv_z = kinv * mask[:, None] * mask[None, :]
+  u = u * mask
+  kinv_new = (kinv_z + jnp.outer(u, u) / schur
+              - jnp.outer(e, u) / schur - jnp.outer(u, e) / schur
+              + jnp.outer(e, e) / schur)
+  active = jnp.logical_or(active, e > 0.5)
+  return kinv_new, active
 
 
 def observe(state: WindGPState, x_m, y_m, pressure_pa, elapsed_s,
             error_u, error_v) -> WindGPState:
-  """Appends one (location, forecast-error) measurement
-  (reference wind_gp.py:98-119)."""
-  slot = state.count % CAPACITY
-  loc = jnp.stack([
-      jnp.asarray(x_m, jnp.float32),
-      jnp.asarray(y_m, jnp.float32),
-      jnp.asarray(pressure_pa, jnp.float32),
-      jnp.asarray(elapsed_s, jnp.float32)])
+  """Adds one (location, forecast-error) measurement
+  (reference wind_gp.py:98-119) and expires stale ones.
+
+  The harness should call `refresh` every REFRESH_PERIOD steps (under a
+  scalar-predicate lax.cond so the exact solve only runs then) to wash out
+  float32 drift; see env.maybe_refresh_gp.
+  """
+  t = jnp.asarray(elapsed_s, jnp.float32)
+  loc = jnp.stack([jnp.asarray(x_m, jnp.float32),
+                   jnp.asarray(y_m, jnp.float32),
+                   jnp.asarray(pressure_pa, jnp.float32), t])
   err = jnp.stack([jnp.asarray(error_u, jnp.float32),
                    jnp.asarray(error_v, jnp.float32)])
-  return WindGPState(
-      locations=jax.lax.dynamic_update_slice(state.locations, loc[None, :],
-                                             (slot, 0)),
-      errors=jax.lax.dynamic_update_slice(state.errors, err[None, :],
-                                          (slot, 0)),
-      count=state.count + 1)
+
+  kinv, active = state.kinv, state.active
+
+  # Expire observations that left the freshness window (steady state: at
+  # most one per step; two downdate passes for safety).
+  for _ in range(2):
+    stale = jnp.logical_and(active,
+                            (t - state.locations[:, 3]) >= TIME_HORIZON_S)
+    onehot = jnp.where(jnp.any(stale),
+                       (jnp.arange(CAPACITY) == jnp.argmax(stale)).astype(
+                           jnp.float32), jnp.zeros((CAPACITY,)))
+    kinv, active = _downdate(kinv, active, onehot)
+
+  slot = state.count % CAPACITY
+  # If the ring slot is somehow still active, remove it first.
+  slot_e = (jnp.arange(CAPACITY) == slot).astype(jnp.float32)
+  occupied = jnp.where(active[slot], slot_e, jnp.zeros((CAPACITY,)))
+  kinv, active = _downdate(kinv, active, occupied)
+
+  locations = jax.lax.dynamic_update_slice(state.locations, loc[None, :],
+                                           (slot, 0))
+  errors = jax.lax.dynamic_update_slice(state.errors, err[None, :], (slot, 0))
+  kinv, active = _insert(kinv, active, locations, loc, slot)
+
+  targets = jnp.where(active[:, None], errors, 0.0)
+  alpha = kinv @ targets
+
+  return WindGPState(locations=locations, errors=errors, active=active,
+                     kinv=kinv, alpha=alpha, count=state.count + 1)
 
 
-def _kernel(a, b):
-  """Matern nu=0.5 with anisotropic length scales; a: (..., N, 4),
-  b: (..., M, 4) -> (..., N, M)."""
-  diff = (a[..., :, None, :] - b[..., None, :, :]) / LENGTH_SCALES
-  d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
-  return SIGMA_EXP_SQUARED * jnp.exp(-d)
+def _exact_inverse(locations, active):
+  """Exact masked-kernel inverse (identity rows on inactive slots)."""
+  k = _kernel(locations, locations)
+  mask2 = jnp.logical_and(active[:, None], active[None, :])
+  k = jnp.where(mask2, k, 0.0)
+  eye = jnp.eye(CAPACITY, dtype=jnp.float32)
+  diag = jnp.where(active, SIGMA_NOISE_SQUARED, 1.0)
+  k_diag = jnp.diagonal(k)
+  k = k * (1.0 - eye) + eye * (jnp.where(active, k_diag, 0.0) + diag)
+  chol = jax.lax.linalg.cholesky(k)
+  return jax.scipy.linalg.cho_solve((chol, True), eye)
+
+
+def refresh(state: WindGPState) -> WindGPState:
+  """Recomputes the inverse exactly (also usable after checkpoint restore)."""
+  kinv = _exact_inverse(state.locations, state.active)
+  targets = jnp.where(state.active[:, None], state.errors, 0.0)
+  return state.replace(kinv=kinv, alpha=kinv @ targets)
 
 
 def query(state: WindGPState, query_locations) -> tuple:
   """GP posterior at query points.
 
   Args:
-    state: the GP ring buffer (single env; vmap for batches).
-    query_locations: (N, 4) [x_m, y_m, pressure_pa, time_s] queries. All
-      rows are assumed to share the query time (as in the reference's
-      column queries) for the freshness window.
+    state: the GP state (single env; vmap for batches).
+    query_locations: (N, 4) [x_m, y_m, pressure_pa, time_s] queries.
 
   Returns:
     (mean_errors (N, 2), deviations (N,)): predicted forecast errors and
@@ -87,36 +195,14 @@ def query(state: WindGPState, query_locations) -> tuple:
     observations both are zero (wind_gp.py:161-163).
   """
   query_locations = jnp.asarray(query_locations, jnp.float32)
-  current_time = query_locations[0, 3]
-
-  slot_idx = jnp.arange(CAPACITY)
-  written = slot_idx < state.count
-  fresh = jnp.abs(state.locations[:, 3] - current_time) < TIME_HORIZON_S
-  valid = jnp.logical_and(written, fresh)  # (CAPACITY,)
-  any_valid = jnp.any(valid)
-
-  mask2 = jnp.logical_and(valid[:, None], valid[None, :])
-  k_train = _kernel(state.locations, state.locations)
-  k_train = jnp.where(mask2, k_train, 0.0)
-  eye = jnp.eye(CAPACITY, dtype=jnp.float32)
-  # Invalid slots become identity rows with zero targets: they drop out of
-  # the solve exactly. Valid diagonal gets the alpha noise term.
-  diag = jnp.where(valid, SIGMA_NOISE_SQUARED, 1.0)
-  k_train = k_train * (1.0 - eye) + eye * (
-      jnp.where(valid, k_train[slot_idx, slot_idx], 0.0) + diag)
-
-  targets = jnp.where(valid[:, None], state.errors, 0.0)
-
-  chol = jax.lax.linalg.cholesky(k_train)
-  alpha = jax.scipy.linalg.cho_solve((chol, True), targets)  # (CAP, 2)
+  any_valid = jnp.any(state.active)
 
   k_star = _kernel(query_locations, state.locations)  # (N, CAPACITY)
-  k_star = jnp.where(valid[None, :], k_star, 0.0)
-  means = k_star @ alpha  # (N, 2)
+  k_star = jnp.where(state.active[None, :], k_star, 0.0)
 
-  # Posterior variance: sigma_f^2 - k*^T K^-1 k*, normalized by sigma_f^2.
-  v = jax.scipy.linalg.cho_solve((chol, True), k_star.T)  # (CAP, N)
-  var = SIGMA_EXP_SQUARED - jnp.sum(k_star * v.T, axis=-1)
+  means = k_star @ state.alpha  # (N, 2)
+  v = k_star @ state.kinv  # (N, CAPACITY)
+  var = SIGMA_EXP_SQUARED - jnp.sum(k_star * v, axis=-1)
   deviations = jnp.clip(var / SIGMA_EXP_SQUARED, 0.0, 1.0)
 
   means = jnp.where(any_valid, means, 0.0)

@@ -40,13 +40,18 @@ def interp4d(grid, axes, points):
   strides = jnp.asarray([s1, s2, s3, 1], jnp.int32)
   base = jnp.sum(i0 * strides, axis=-1)  # (...,)
 
-  out = jnp.zeros(points.shape[:-1] + (grid.shape[-1],), grid.dtype)
-  # 16 corners: weights are products of frac/1-frac per dim.
-  for corner in range(16):
-    bits = [(corner >> d) & 1 for d in range(4)]
-    offset = sum(b * int(s) for b, s in zip(bits, (s1, s2, s3, 1)))
-    w = jnp.ones(points.shape[:-1], grid.dtype)
-    for d, b in enumerate(bits):
-      w = w * (frac[..., d] if b else (1.0 - frac[..., d]))
-    out = out + w[..., None] * flat[base + offset]
-  return out
+  # All 16 corners in ONE gather: precompute the static flat offsets and
+  # the per-dim weight selectors, then contract corner weights in a single
+  # einsum-like product. This keeps XLA to one fused gather per call
+  # instead of 16 (important when vmapping over per-env grids).
+  bits = [[(corner >> d) & 1 for d in range(4)] for corner in range(16)]
+  corner_offsets = jnp.asarray(
+      [sum(b * int(s) for b, s in zip(row, (s1, s2, s3, 1)))
+       for row in bits], jnp.int32)  # (16,)
+  corners = flat[base[..., None] + corner_offsets]  # (..., 16, C)
+
+  bits_arr = jnp.asarray(bits, grid.dtype)  # (16, 4)
+  # weight[..., corner] = prod_d frac_d^bit * (1-frac_d)^(1-bit)
+  w = jnp.prod(frac[..., None, :] * bits_arr +
+               (1.0 - frac[..., None, :]) * (1.0 - bits_arr), axis=-1)
+  return jnp.sum(w[..., None] * corners, axis=-2)
