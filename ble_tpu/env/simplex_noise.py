@@ -118,6 +118,52 @@ def simplex4d(x, y, z, w, seed):
   return 27.0 * total
 
 
+def _tables(harmonics):
+  import numpy as np
+  arr = np.asarray(harmonics, np.float32)  # (5, 5): w, xs, ys, ps, ts.
+  return jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1:])
+
+
+_UV_WEIGHTS, _UV_SPACINGS = (lambda u, v: (
+    jnp.stack([u[0], v[0]]),  # (2, 5)
+    jnp.stack([u[1], v[1]])))(  # (2, 5, 4)
+        _tables(U_HARMONICS), _tables(V_HARMONICS))
+
+
+def uv_noise(x_km, y_km, pressure_pa, time_hours, seeds, offsets):
+  """Both wind components' blended noise in ONE batched simplex call.
+
+  Args:
+    x_km, y_km, pressure_pa, time_hours: query coordinates, shape S
+      (broadcastable).
+    seeds: (2, 5) int32 per (component, harmonic).
+    offsets: (2, 5, 4) float32 grid translations.
+
+  Returns:
+    (u_noise, v_noise), each of shape S. Equivalent to per-harmonic
+    `harmonic_noise` but with a (2, 5) leading lattice axis so the TPU
+    sees ~10x fewer (tiny) kernels.
+  """
+  coords = jnp.stack(jnp.broadcast_arrays(
+      jnp.asarray(x_km, jnp.float32), jnp.asarray(y_km, jnp.float32),
+      jnp.asarray(pressure_pa, jnp.float32),
+      jnp.asarray(time_hours, jnp.float32)), axis=-1)  # S + (4,)
+  sp = _UV_SPACINGS.reshape((2, 5) + (1,) * (coords.ndim - 1) + (4,))
+  off = offsets.reshape((2, 5) + (1,) * (coords.ndim - 1) + (4,))
+  p = coords / sp + off  # (2, 5) + S + (4,)
+  seeds_b = seeds.reshape((2, 5) + (1,) * (coords.ndim - 1))
+  noise = NOISE_MAGNITUDE * simplex4d(p[..., 0], p[..., 1], p[..., 2],
+                                      p[..., 3], seeds_b)  # (2, 5) + S
+  w = _UV_WEIGHTS.reshape((2, 5) + (1,) * (coords.ndim - 1))
+  total_w = jnp.sum(_UV_WEIGHTS, axis=1)  # (2,)
+  total_w2 = jnp.sum(_UV_WEIGHTS ** 2, axis=1)
+  blend = jnp.sum(noise * w, axis=1)  # (2,) + S
+  scale = (jnp.sqrt(total_w / total_w2) / total_w).reshape(
+      (2,) + (1,) * (coords.ndim - 1))
+  blend = blend * scale
+  return blend[0], blend[1]
+
+
 def harmonic_noise(x_km, y_km, pressure_pa, time_hours, seeds, offsets,
                    harmonics):
   """Weighted multi-harmonic noise for one wind component.

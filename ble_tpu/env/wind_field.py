@@ -134,15 +134,8 @@ def get_noise(state: WindFieldState, x_m, y_m, pressure_pa, elapsed_s):
   x_km = jnp.asarray(x_m, jnp.float32) / 1000.0
   y_km = jnp.asarray(y_m, jnp.float32) / 1000.0
   t_hours = jnp.asarray(elapsed_s, jnp.float32) / 3600.0
-  u = simplex_noise.harmonic_noise(x_km, y_km, pressure_pa, t_hours,
-                                   state.noise_seeds[0],
-                                   state.noise_offsets[0],
-                                   simplex_noise.U_HARMONICS)
-  v = simplex_noise.harmonic_noise(x_km, y_km, pressure_pa, t_hours,
-                                   state.noise_seeds[1],
-                                   state.noise_offsets[1],
-                                   simplex_noise.V_HARMONICS)
-  return u, v
+  return simplex_noise.uv_noise(x_km, y_km, pressure_pa, t_hours,
+                                state.noise_seeds, state.noise_offsets)
 
 
 def get_ground_truth(state: WindFieldState, x_m, y_m, pressure_pa, elapsed_s):

@@ -87,11 +87,11 @@ def _downdate(kinv, active, slot_onehot):
   col = kinv @ slot_onehot  # (CAP,) = kinv[:, s].
   d = jnp.dot(slot_onehot, col)  # kinv[s, s] (1.0 for identity slots).
   safe_d = jnp.where(jnp.abs(d) > 1e-20, d, 1.0)
-  kinv2 = kinv - jnp.outer(col, col) / safe_d
-  # Restore the removed slot to an identity row/col.
-  mask = 1.0 - slot_onehot
-  kinv2 = kinv2 * mask[:, None] * mask[None, :] + jnp.outer(slot_onehot,
-                                                            slot_onehot)
+  # Since kinv[s, :] == col^T (symmetry), the Schur subtraction already
+  # zeroes row/col s; restoring the identity slot is +outer(e, e). One
+  # fused rank-2 update, no masks.
+  kinv2 = kinv - jnp.outer(col, col) / safe_d + jnp.outer(slot_onehot,
+                                                          slot_onehot)
   kinv = jnp.where(any_remove, kinv2, kinv)
   active = jnp.logical_and(active, slot_onehot < 0.5)
   return kinv, active
@@ -105,13 +105,11 @@ def _insert(kinv, active, locations, loc, slot):
   schur = d - jnp.dot(v, u)
   schur = jnp.maximum(schur, 1e-6)
   e = (jnp.arange(CAPACITY) == slot).astype(jnp.float32)
-  # Zero out the slot's identity row before bordering.
-  mask = 1.0 - e
-  kinv_z = kinv * mask[:, None] * mask[None, :]
-  u = u * mask
-  kinv_new = (kinv_z + jnp.outer(u, u) / schur
-              - jnp.outer(e, u) / schur - jnp.outer(u, e) / schur
-              + jnp.outer(e, e) / schur)
+  # Slot s is an identity row here (v[s] = 0, u[s] = 0), so the bordered
+  # inverse collapses to one rank-1 update with w = u - e:
+  #   kinv_z = kinv - outer(e, e);  kinv' = kinv_z + outer(w, w)/schur.
+  w = u - e
+  kinv_new = kinv + jnp.outer(w, w) / schur - jnp.outer(e, e)
   active = jnp.logical_or(active, e > 0.5)
   return kinv_new, active
 
@@ -121,9 +119,16 @@ def observe(state: WindGPState, x_m, y_m, pressure_pa, elapsed_s,
   """Adds one (location, forecast-error) measurement
   (reference wind_gp.py:98-119) and expires stale ones.
 
-  The harness should call `refresh` every REFRESH_PERIOD steps (under a
-  scalar-predicate lax.cond so the exact solve only runs then) to wash out
-  float32 drift; see env.maybe_refresh_gp.
+  All of this step's inverse modifications (<=2 window expiries, ring-slot
+  eviction, one insert) are known before touching `kinv`, so they are
+  fused into ONE batched matvec against the base inverse plus ONE rank-8
+  outer-product update -- two passes over the (CAP, CAP) matrix total,
+  instead of one per modification (the matrix is the dominant HBM traffic
+  at large env batches).
+
+  The harness may call `refresh` occasionally (e.g. after checkpoint
+  restore) to wash out float32 drift; in practice the incremental path
+  tracks sklearn to ~4e-3 m/s over a full 960-step episode (see tests).
   """
   t = jnp.asarray(elapsed_s, jnp.float32)
   loc = jnp.stack([jnp.asarray(x_m, jnp.float32),
@@ -133,33 +138,81 @@ def observe(state: WindGPState, x_m, y_m, pressure_pa, elapsed_s,
                    jnp.asarray(error_v, jnp.float32)])
 
   kinv, active = state.kinv, state.active
+  iota = jnp.arange(CAPACITY)
 
-  # Expire observations that left the freshness window (steady state: at
-  # most one per step; two downdate passes for safety).
-  for _ in range(2):
-    stale = jnp.logical_and(active,
-                            (t - state.locations[:, 3]) >= TIME_HORIZON_S)
-    onehot = jnp.where(jnp.any(stale),
-                       (jnp.arange(CAPACITY) == jnp.argmax(stale)).astype(
-                           jnp.float32), jnp.zeros((CAPACITY,)))
-    kinv, active = _downdate(kinv, active, onehot)
+  # --- Determine every slot change up front (no kinv reads needed). ---
+  stale = jnp.logical_and(active,
+                          (t - state.locations[:, 3]) >= TIME_HORIZON_S)
+  e1 = jnp.where(jnp.any(stale),
+                 (iota == jnp.argmax(stale)).astype(jnp.float32), 0.0)
+  stale2 = jnp.logical_and(stale, e1 < 0.5)
+  e2 = jnp.where(jnp.any(stale2),
+                 (iota == jnp.argmax(stale2)).astype(jnp.float32), 0.0)
 
   slot = state.count % CAPACITY
-  # If the ring slot is somehow still active, remove it first.
-  slot_e = (jnp.arange(CAPACITY) == slot).astype(jnp.float32)
-  occupied = jnp.where(active[slot], slot_e, jnp.zeros((CAPACITY,)))
-  kinv, active = _downdate(kinv, active, occupied)
+  slot_e = (iota == slot).astype(jnp.float32)
+  removed12 = jnp.logical_or(e1 > 0.5, e2 > 0.5)
+  active_after_rm = jnp.logical_and(active, jnp.logical_not(removed12))
+  eo = jnp.where(active_after_rm[slot], slot_e, 0.0)
+  active_pre_insert = jnp.logical_and(active_after_rm, eo < 0.5)
 
   locations = jax.lax.dynamic_update_slice(state.locations, loc[None, :],
                                            (slot, 0))
   errors = jax.lax.dynamic_update_slice(state.errors, err[None, :], (slot, 0))
-  kinv, active = _insert(kinv, active, locations, loc, slot)
+  active_final = jnp.logical_or(active_pre_insert, slot_e > 0.5)
+  v = jnp.where(active_pre_insert, _kernel_vec(loc, state.locations), 0.0)
+  targets = jnp.where(active_final[:, None], errors, 0.0)
 
-  targets = jnp.where(active[:, None], errors, 0.0)
-  alpha = kinv @ targets
+  # --- One batched matvec against the BASE inverse. ---
+  rhs = jnp.concatenate([e1[:, None], e2[:, None], eo[:, None], v[:, None],
+                         targets], axis=1)  # (CAP, 6)
+  m = kinv @ rhs  # (CAP, 6)
 
-  return WindGPState(locations=locations, errors=errors, active=active,
-                     kinv=kinv, alpha=alpha, count=state.count + 1)
+  # --- Low-rank bookkeeping: kinv_final = kinv + sum_j c_j w_j w_j^T. ---
+  ws = []
+  cs = []
+
+  def cur_matvec(base_col, x):
+    r = base_col
+    for w, c in zip(ws, cs):
+      r = r + c * w * jnp.dot(w, x)
+    return r
+
+  def downdate_terms(base_col, e):
+    col = cur_matvec(base_col, e)
+    d = jnp.dot(e, col)
+    safe_d = jnp.where(jnp.abs(d) > 1e-20, d, 1.0)
+    removing = jnp.sum(e) > 0
+    ws.append(jnp.where(removing, col, 0.0))
+    cs.append(-1.0 / safe_d)
+    ws.append(e)  # Zero vector when not removing.
+    cs.append(jnp.float32(1.0))
+
+  downdate_terms(m[:, 0], e1)
+  downdate_terms(m[:, 1], e2)
+  downdate_terms(m[:, 2], eo)
+
+  # Insert (bordered inverse; slot is an identity row at this point).
+  u = cur_matvec(m[:, 3], v)
+  d_new = SIGMA_EXP_SQUARED + SIGMA_NOISE_SQUARED
+  schur = jnp.maximum(d_new - jnp.dot(v, u), 1e-6)
+  ws.append(u - slot_e)
+  cs.append(1.0 / schur)
+  ws.append(slot_e)
+  cs.append(jnp.float32(-1.0))
+
+  # --- One rank-8 update pass over kinv. ---
+  w_mat = jnp.stack(ws, axis=1)  # (CAP, 8)
+  c_vec = jnp.stack(cs)  # (8,)
+  kinv_new = kinv + (w_mat * c_vec) @ w_mat.T
+
+  # alpha = kinv_final @ targets, expanded through the low-rank terms.
+  alpha = m[:, 4:6]
+  for w, c in zip(ws, cs):
+    alpha = alpha + c * w[:, None] * (w @ targets)[None, :]
+
+  return WindGPState(locations=locations, errors=errors, active=active_final,
+                     kinv=kinv_new, alpha=alpha, count=state.count + 1)
 
 
 def _exact_inverse(locations, active):
