@@ -9,8 +9,6 @@ than pi (with nonzero winds), which vectorizes directly in jnp.
 
 import jax.numpy as jnp
 
-from ble_tpu.env import wind_field as wind_field_lib
-
 
 def is_station_keeping_winds(u, v, magnitude_threshold: float = 1e-6):
   """True if winds at some altitudes can cancel winds at others.
@@ -45,6 +43,5 @@ def is_station_keeping_winds(u, v, magnitude_threshold: float = 1e-6):
 def mean_wind_speed(field):
   """Mean wind speed over a (..., 21, 21, 10, 9, 2) grid
   (reference utils/wind.py:44-71)."""
-  del wind_field_lib  # Shape documented above.
   return jnp.mean(jnp.sqrt(jnp.sum(field ** 2, axis=-1)),
                   axis=(-1, -2, -3, -4))
