@@ -4,6 +4,7 @@
 from ble_tpu.agents import base
 from ble_tpu.agents import mlp_agent  # noqa: F401
 from ble_tpu.agents import perciatelli44  # noqa: F401
+from ble_tpu.agents import quantile_agent  # noqa: F401
 from ble_tpu.agents import random_walk  # noqa: F401
 from ble_tpu.agents import station_seeker  # noqa: F401
 

@@ -23,7 +23,7 @@ from ble_tpu.train import learner as learner_lib
 def test_registry_lists_agents():
   agents = agents_base.available_agents()
   for name in ['random', 'random_walk', 'station_seeker', 'mlp',
-               'perciatelli44']:
+               'perciatelli44', 'quantile', 'dqn', 'finetune_perciatelli']:
     assert name in agents, agents
 
 
