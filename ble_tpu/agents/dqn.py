@@ -81,7 +81,8 @@ def mse_loss(config: DqnConfig, params, target_params,
 
   w = batch.get('weight', jnp.ones_like(per_sample))
   loss = jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
-  return loss, {'loss': loss, 'mean_q': jnp.mean(chosen)}
+  return loss, {'loss': loss, 'mean_q': jnp.mean(chosen),
+                'per_sample_loss': jax.lax.stop_gradient(per_sample)}
 
 
 def train_step(config: DqnConfig, state: DqnLearnerState,

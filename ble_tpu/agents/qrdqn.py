@@ -111,7 +111,9 @@ def quantile_loss(config: QrDqnConfig, params, target_params,
   loss = jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
   metrics = {'loss': loss,
              'mean_q': jnp.mean(jnp.mean(theta, axis=-1)),
-             'valid_frac': jnp.mean(w)}
+             'valid_frac': jnp.mean(w),
+             # Unweighted per-sample losses for prioritized-replay updates.
+             'per_sample_loss': jax.lax.stop_gradient(per_sample)}
   return loss, metrics
 
 

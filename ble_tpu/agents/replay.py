@@ -25,6 +25,14 @@ class ReplayConfig:
   n_step: int = 5
   gamma: float = 0.993
   batch_size: int = 32
+  # Prioritized replay (reference quantile.gin uses Dopamine's prioritized
+  # buffer). TPU-ified scheme: envs are drawn uniformly, the time slot
+  # within each drawn env is drawn by priority via Gumbel-max -- a global
+  # sum-tree would serialize; this keeps sampling one fused pass over a
+  # (B, ring_len) tile. Loss weights and priority updates follow
+  # Dopamine's sqrt scheme.
+  prioritized: bool = False
+  priority_epsilon: float = 1e-3
 
 
 @struct.dataclass
@@ -35,6 +43,7 @@ class ReplayState:
   terminal: jnp.ndarray  # (E, T) bool: episode ended AT this step.
   valid: jnp.ndarray  # (E, T) bool: transition written and pre-terminal.
   episode_step: jnp.ndarray  # (E, T) int32: step index within episode.
+  priority: jnp.ndarray  # (E, T) float32 sampling priorities.
   total: jnp.ndarray  # int32, global steps written (shared cursor).
 
 
@@ -48,6 +57,7 @@ def init(num_envs: int, obs_dim: int, config: ReplayConfig,
       terminal=jnp.zeros((num_envs, t), jnp.bool_),
       valid=jnp.zeros((num_envs, t), jnp.bool_),
       episode_step=jnp.zeros((num_envs, t), jnp.int32),
+      priority=jnp.zeros((num_envs, t), jnp.float32),
       total=jnp.int32(0))
 
 
@@ -64,6 +74,10 @@ def add(state: ReplayState, config: ReplayConfig, obs, action, reward,
   """
   slot = state.total % config.ring_len
   upd = lambda buf, new: buf.at[:, slot].set(new)
+  # New transitions get the current max priority (Dopamine convention) so
+  # they are sampled at least once.
+  max_priority = jnp.maximum(jnp.max(state.priority), 1.0)
+  new_priority = jnp.where(active, max_priority, 0.0)
   return ReplayState(
       obs=upd(state.obs, obs.astype(state.obs.dtype)),
       action=upd(state.action, action.astype(jnp.int32)),
@@ -71,6 +85,7 @@ def add(state: ReplayState, config: ReplayConfig, obs, action, reward,
       terminal=upd(state.terminal, terminal),
       valid=upd(state.valid, active),
       episode_step=upd(state.episode_step, episode_step),
+      priority=upd(state.priority, new_priority),
       total=state.total + 1)
 
 
@@ -90,14 +105,34 @@ def sample(state: ReplayState, config: ReplayConfig, key: jax.Array):
   num_envs = state.obs.shape[0]
   env_idx = jax.random.randint(env_key, (config.batch_size,), 0, num_envs)
 
-  # Sample a global step with a full n-step window not overlapping the
-  # write cursor: g in [total - t_ring + n... wait, window uses g..g+n, so
+  # Valid base steps: the window uses g..g+n, so
   # g in [max(0, total - t_ring), total - n - 1].
   oldest = jnp.maximum(0, state.total - t_ring)
   hi = jnp.maximum(oldest + 1, state.total - n)
-  g = oldest + (jax.random.randint(time_key, (config.batch_size,), 0,
-                                   jnp.iinfo(jnp.int32).max) %
-                jnp.maximum(hi - oldest, 1))
+
+  if config.prioritized:
+    # Per drawn env, Gumbel-max over log-priorities of eligible slots.
+    prio = state.priority[env_idx]  # (B, T)
+    cursor_prev = (state.total - 1) % t_ring
+    s_iota = jnp.arange(t_ring)
+    g_of_s = state.total - 1 - ((cursor_prev - s_iota) % t_ring)  # (T,)
+    eligible = jnp.logical_and(g_of_s >= oldest,
+                               g_of_s <= state.total - 1 - n)
+    logits = jnp.log(jnp.maximum(prio, 1e-20))
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(time_key, prio.shape, minval=1e-10, maxval=1.0)))
+    masked = jnp.where(jnp.logical_and(eligible[None, :], prio > 0),
+                       logits + gumbel, -jnp.inf)
+    slot0 = jnp.argmax(masked, axis=-1)  # (B,)
+    g = g_of_s[slot0]
+    prio_sum = jnp.sum(jnp.where(eligible[None, :], prio, 0.0), axis=-1)
+    probability = (jnp.take_along_axis(prio, slot0[:, None], -1)[:, 0] /
+                   jnp.maximum(prio_sum, 1e-20))
+  else:
+    g = oldest + (jax.random.randint(time_key, (config.batch_size,), 0,
+                                     jnp.iinfo(jnp.int32).max) %
+                  jnp.maximum(hi - oldest, 1))
+    probability = jnp.ones((config.batch_size,))
 
   slots = (g[:, None] + jnp.arange(n + 1)[None, :]) % t_ring  # (B, n+1)
 
@@ -136,6 +171,12 @@ def sample(state: ReplayState, config: ReplayConfig, key: jax.Array):
   base_ok = valids[:, 0]
   weight = jnp.logical_and(coherent, base_ok).astype(jnp.float32)
 
+  if config.prioritized:
+    # Dopamine scheme: importance weights 1/sqrt(prob), normalized by max.
+    iw = 1.0 / jnp.sqrt(probability + config.priority_epsilon)
+    iw = iw / jnp.maximum(jnp.max(iw), 1e-20)
+    weight = weight * iw
+
   return {
       'obs': obs,
       'action': action,
@@ -143,7 +184,17 @@ def sample(state: ReplayState, config: ReplayConfig, key: jax.Array):
       'bootstrap_discount': bootstrap,
       'next_obs': next_obs,
       'weight': weight,
+      'env_idx': env_idx,
+      'slot': slots[:, 0],
   }
+
+
+def update_priorities(state: ReplayState, config: ReplayConfig, env_idx,
+                      slot, per_sample_loss) -> ReplayState:
+  """Sets sampled slots' priorities to sqrt(loss + eps) (Dopamine)."""
+  new_p = jnp.sqrt(per_sample_loss + config.priority_epsilon)
+  return state.replace(
+      priority=state.priority.at[env_idx, slot].set(new_p))
 
 
 def can_sample(state: ReplayState, config: ReplayConfig,

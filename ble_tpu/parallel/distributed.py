@@ -56,7 +56,7 @@ def shard_specs(ts: learner_lib.TrainState) -> learner_lib.TrainState:
       replay=replay_lib.ReplayState(
           obs=P(ENV_AXIS), action=P(ENV_AXIS), reward=P(ENV_AXIS),
           terminal=P(ENV_AXIS), valid=P(ENV_AXIS),
-          episode_step=P(ENV_AXIS), total=P()),
+          episode_step=P(ENV_AXIS), priority=P(ENV_AXIS), total=P()),
       key=P(),
       env_steps=P())
 

@@ -115,21 +115,27 @@ def env_step(config: TrainConfig, env_params: env_lib.EnvParams,
   can = replay_lib.can_sample(rep, config.replay,
                               config.qrdqn.min_replay_history)
 
-  def do_updates(learner):
+  def do_updates(carry):
+    learner, rep = carry
     def body(i, carry):
-      learner, metrics_sum = carry
+      learner, rep, metrics_sum = carry
       batch = replay_lib.sample(rep, config.replay,
                                 jax.random.fold_in(sample_key, i))
       learner, metrics = qrdqn_lib.train_step(config.qrdqn, learner, batch,
                                           grad_transform)
-      return learner, metrics_sum + metrics['loss']
+      if config.replay.prioritized:
+        rep = replay_lib.update_priorities(rep, config.replay,
+                                           batch['env_idx'], batch['slot'],
+                                           metrics['per_sample_loss'])
+      return learner, rep, metrics_sum + metrics['loss']
     n = config.grad_steps_per_env_step()
-    learner, loss_sum = jax.lax.fori_loop(0, n, body,
-                                          (learner, jnp.float32(0.0)))
-    return learner, loss_sum / n
+    learner, rep, loss_sum = jax.lax.fori_loop(
+        0, n, body, (learner, rep, jnp.float32(0.0)))
+    return learner, rep, loss_sum / n
 
-  learner, mean_loss = jax.lax.cond(
-      can, do_updates, lambda l: (l, jnp.float32(0.0)), learner)
+  learner, rep, mean_loss = jax.lax.cond(
+      can, do_updates, lambda c: (c[0], c[1], jnp.float32(0.0)),
+      (learner, rep))
 
   new_active = jnp.logical_and(ts.active, jnp.logical_not(out.done))
   metrics = {
