@@ -32,6 +32,34 @@ class MLPNetwork(nn.Module):
     return nn.Dense(self.num_actions, kernel_init=kernel_init)(x)
 
 
+class LstmQuantileNetwork(nn.Module):
+  """Recurrent quantile network (reference acme_utils.py:100-157 R2D2
+  variant: torso MLP -> LSTM -> quantile head). Call with an explicit
+  carry; use `initial_state` for episode starts."""
+  num_actions: int = 3
+  num_atoms: int = NUM_ATOMS
+  torso_layers: int = 2
+  hidden_units: int = HIDDEN_UNITS
+  lstm_units: int = 256
+
+  @nn.compact
+  def __call__(self, carry, x: jnp.ndarray):
+    kernel_init = nn.initializers.variance_scaling(
+        scale=1.0 / jnp.sqrt(3.0), mode='fan_in', distribution='uniform')
+    x = x.astype(jnp.float32)
+    for _ in range(self.torso_layers):
+      x = nn.relu(nn.Dense(self.hidden_units, kernel_init=kernel_init)(x))
+    carry, x = nn.OptimizedLSTMCell(self.lstm_units)(carry, x)
+    x = nn.Dense(self.num_actions * self.num_atoms, kernel_init=kernel_init)(x)
+    logits = x.reshape(x.shape[:-1] + (self.num_actions, self.num_atoms))
+    q_values = jnp.mean(logits, axis=-1)
+    return carry, (q_values, logits)
+
+  def initial_state(self, rng, batch_shape=()):
+    return nn.OptimizedLSTMCell(self.lstm_units).initialize_carry(
+        rng, batch_shape + (self.hidden_units,))
+
+
 class QuantileNetwork(nn.Module):
   """MLP -> (num_actions, num_atoms) quantile logits
   (reference networks.py:63-98)."""

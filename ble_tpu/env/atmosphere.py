@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from ble_tpu.ops import pmath
+
 from ble_tpu.utils import constants
 
 # Layer boundaries [m] and the two lapse-rate tables that are blended per
@@ -62,7 +64,8 @@ def make(alpha) -> AtmosphereParams:
   # it is exp(-g*dh/(R*T)). (reference standard_atmosphere.py:185-202)
   is_iso = lapse == 0.0
   safe_lapse = jnp.where(is_iso, 1.0, lapse)
-  ratio_linear = (temps[..., 1:] / temps[..., :-1]) ** (-_G / (_R * safe_lapse))
+  ratio_linear = pmath.powf(temps[..., 1:] / temps[..., :-1],
+                            -_G / (_R * safe_lapse))
   ratio_iso = jnp.exp(-_G * dh / (_R * temps[..., 1:]))
   ratios = jnp.where(is_iso, ratio_iso, ratio_linear)
   pressures = BASE_PRESSURE * jnp.concatenate(
@@ -76,8 +79,15 @@ def make(alpha) -> AtmosphereParams:
 
 
 def _select_layer(mask_upper):
-  """Index of first True in a (..., 7) 'value below upper transition' mask."""
-  return jnp.argmax(mask_upper, axis=-1)
+  """Index of the first True layer.
+
+  The masks used here are monotone along the layer axis (pressure
+  transitions decrease, height transitions increase), so the first True
+  index equals the count of leading False entries -- a sum, which Pallas
+  lowers (argmax along an axis does not).
+  """
+  n = mask_upper.shape[-1]
+  return n - jnp.sum(mask_upper.astype(jnp.int32), axis=-1)
 
 
 def _gather_layer(table, idx):
@@ -115,7 +125,7 @@ def at_pressure(params: AtmosphereParams, pressure):
   is_iso = l0 == 0.0
   safe_l = jnp.where(is_iso, 1.0, l0)
   height_iso = (-_R * t0 / _G) * jnp.log(pressure / p0) + h0
-  height_lin = ((pressure / p0) ** (-_R * safe_l / _G) - 1.0) * t0 / safe_l + h0
+  height_lin = (pmath.powf(pressure / p0, -_R * safe_l / _G) - 1.0) * t0 / safe_l + h0
   height = jnp.where(is_iso, height_iso, height_lin)
 
   temperature = t0 + l0 * (height - h0)
@@ -145,7 +155,7 @@ def at_height(params: AtmosphereParams, height_m):
   is_iso = l0 == 0.0
   safe_l = jnp.where(is_iso, 1.0, l0)
   pressure_iso = p0 * jnp.exp(-_G * (height_m - h0) / (_R * temperature))
-  pressure_lin = p0 * (temperature / t0) ** (-_G / (_R * safe_l))
+  pressure_lin = p0 * pmath.powf(temperature / t0, -_G / (_R * safe_l))
   pressure = jnp.where(is_iso, pressure_iso, pressure_lin)
 
   density = pressure / (_R * temperature)

@@ -22,6 +22,7 @@ from ble_tpu.env import atmosphere as atmosphere_lib
 from ble_tpu.env import safety
 from ble_tpu.env import solar
 from ble_tpu.env import thermal
+from ble_tpu.ops import pmath
 from ble_tpu.utils import constants
 from ble_tpu.utils import spherical
 
@@ -171,7 +172,7 @@ def _substep(params: BalloonParams,
   # Step 2: buoyancy -> dh/dt -> dp/dt (balloon.py:412-445).
   rho_air = (state.pressure_pa * constants.DRY_AIR_MOLAR_MASS) / (
       constants.UNIVERSAL_GAS_CONSTANT * state.ambient_temperature_k)
-  drag = params.envelope_cod * state.envelope_volume_m3 ** (2.0 / 3.0)
+  drag = params.envelope_cod * pmath.powf(state.envelope_volume_m3, 2.0 / 3.0)
   total_flight_system_mass = (
       constants.HE_MOLAR_MASS * params.mols_lift_gas +
       constants.DRY_AIR_MOLAR_MASS * state.mols_air + params.envelope_mass +

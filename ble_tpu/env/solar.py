@@ -16,6 +16,7 @@ import math
 
 import jax.numpy as jnp
 
+from ble_tpu.ops import pmath
 from ble_tpu.utils import time_lib
 
 # Min elevation at which panels see the sun (reference solar.py:38).
@@ -61,7 +62,7 @@ def solar_calculator(lat_rad, lng_rad, time_s):
   obliquity_correction = mean_obliquity_of_ecliptic + jnp.radians(
       0.00256 * jnp.cos(jnp.radians(125.04 - 1934.136 * julian_century)))
 
-  var_y = jnp.tan(obliquity_correction / 2.0) ** 2
+  var_y = pmath.tan(obliquity_correction / 2.0) ** 2
 
   eccentricity_earth = 0.016708634 - julian_century * (
       0.000042037 + 0.0000001267 * julian_century)
@@ -72,7 +73,7 @@ def solar_calculator(lat_rad, lng_rad, time_s):
                        0.5 * var_y * var_y * sin4l0 -
                        1.25 * eccentricity_earth * eccentricity_earth * sin2m0))
 
-  hour_angle_arg = jnp.fmod(
+  hour_angle_arg = pmath.fmod(
       1440.0 * fraction_of_day + jnp.degrees(equation_of_time) +
       4.0 * jnp.degrees(lng_rad), 1440.0)
   hour_angle = jnp.radians(hour_angle_arg) / 4.0
@@ -89,18 +90,18 @@ def solar_calculator(lat_rad, lng_rad, time_s):
   apparent_long_sun = true_long_sun - jnp.radians(
       0.00569 -
       0.00478 * jnp.sin(jnp.radians(125.04 - 1934.136 * julian_century)))
-  declination_sun = jnp.arcsin(
+  declination_sun = pmath.asin(
       jnp.sin(obliquity_correction) * jnp.sin(apparent_long_sun))
 
   cos_zenith = (jnp.sin(lat_rad) * jnp.sin(declination_sun) +
                 jnp.cos(lat_rad) * jnp.cos(declination_sun) *
                 jnp.cos(hour_angle))
-  zenith_angle = jnp.arccos(jnp.clip(cos_zenith, -1.0, 1.0))
+  zenith_angle = pmath.acos(jnp.clip(cos_zenith, -1.0, 1.0))
 
   el_uncorrected_deg = 90.0 - jnp.degrees(zenith_angle)
 
   # Atmospheric refraction, 4-branch piecewise (reference solar.py:143-157).
-  tan_seu = jnp.tan(jnp.radians(el_uncorrected_deg))
+  tan_seu = pmath.tan(jnp.radians(el_uncorrected_deg))
   safe_tan = jnp.where(jnp.abs(tan_seu) < 1e-8,
                        jnp.where(tan_seu < 0, -1e-8, 1e-8), tan_seu)
   refr_high = 58.1 / safe_tan - 0.07 / safe_tan ** 3 + 0.000086 / safe_tan ** 5
@@ -121,7 +122,7 @@ def solar_calculator(lat_rad, lng_rad, time_s):
   denom = jnp.cos(lat_rad) * jnp.where(sin_zenith < 1e-8, 1e-8, sin_zenith)
   cos_az = ((jnp.sin(lat_rad) * jnp.cos(zenith_angle) -
              jnp.sin(declination_sun)) / denom)
-  az_unwrapped = jnp.arccos(jnp.clip(cos_az, -1.0, 1.0))
+  az_unwrapped = pmath.acos(jnp.clip(cos_az, -1.0, 1.0))
   az_deg = jnp.where(hour_angle > 0,
                      jnp.degrees(az_unwrapped) + 180.0,
                      180.0 - jnp.degrees(az_unwrapped))

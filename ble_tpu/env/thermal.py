@@ -8,6 +8,7 @@ and can be vmapped over balloons and Newton iterations alike.
 import jax.numpy as jnp
 
 from ble_tpu.env import solar
+from ble_tpu.ops import pmath
 from ble_tpu.utils import constants
 
 _SOLAR_VIEW_FACTOR = 0.25
@@ -24,11 +25,12 @@ _STEFAN_BOLTZMAN = 5.6704e-8  # [W/(m^2.K^4)]
 
 
 def black_body_temperature_to_flux(temperature_k):
-  return _STEFAN_BOLTZMAN * temperature_k ** 4
+  t2 = temperature_k * temperature_k
+  return _STEFAN_BOLTZMAN * t2 * t2
 
 
 def black_body_flux_to_temperature(flux):
-  return (flux / _STEFAN_BOLTZMAN) ** 0.25
+  return pmath.powf(flux / _STEFAN_BOLTZMAN, 0.25)
 
 
 def absorptivity_ir(object_temperature_k):
@@ -46,21 +48,22 @@ def total_absorptivity(absorptivity, reflectivity):
 def convective_heat_air_factor(balloon_radius, balloon_temperature_k,
                                ambient_temperature_k, pressure_altitude_pa):
   """Nusselt-number convective transfer factor (thermal.py:150-172)."""
-  viscosity = 1.458e-6 * (ambient_temperature_k ** 1.5) / (
+  viscosity = 1.458e-6 * pmath.powf(ambient_temperature_k, 1.5) / (
       ambient_temperature_k + 110.4)
-  conductivity = 0.0241 * ((ambient_temperature_k / 273.15) ** 0.9)
+  conductivity = 0.0241 * pmath.powf(ambient_temperature_k / 273.15, 0.9)
   prandtl = 0.804 - 3.25e-4 * ambient_temperature_k
   air_density = (
       pressure_altitude_pa * constants.DRY_AIR_MOLAR_MASS /
       (constants.UNIVERSAL_GAS_CONSTANT * ambient_temperature_k))
 
-  grashof = (constants.GRAVITY * (air_density ** 2) *
-             ((2 * balloon_radius) ** 3) /
+  diam = 2 * balloon_radius
+  grashof = (constants.GRAVITY * (air_density * air_density) *
+             (diam * diam * diam) /
              (ambient_temperature_k * (viscosity ** 2))) * jnp.abs(
                  ambient_temperature_k - balloon_temperature_k)
   rayleigh = prandtl * grashof
-  nusselt = (2 + 0.457 * (rayleigh ** 0.25) +
-             ((1 + 2.69e-8 * rayleigh) ** (1.0 / 12.0)))
+  nusselt = (2 + 0.457 * pmath.powf(rayleigh, 0.25) +
+             pmath.powf(1 + 2.69e-8 * rayleigh, 1.0 / 12.0))
   k_heat_transfer = nusselt * conductivity / (2 * balloon_radius)
 
   return k_heat_transfer * (ambient_temperature_k - balloon_temperature_k)
@@ -71,7 +74,7 @@ def d_balloon_temperature_dt(balloon_volume, balloon_mass,
                              pressure_altitude_pa, solar_elevation_deg,
                              solar_flux, earth_flux):
   """dT/dt of the balloon film [K/s] (thermal.py:175-230)."""
-  balloon_radius = (3 * balloon_volume / (4 * jnp.pi)) ** (1.0 / 3.0)
+  balloon_radius = pmath.powf(3 * balloon_volume / (4 * jnp.pi), 1.0 / 3.0)
   balloon_area = 4 * jnp.pi * balloon_radius * balloon_radius
 
   atm_attenuation = solar.solar_atmospheric_attenuation(

@@ -57,7 +57,8 @@ def build_eval_fn(env_params: env_lib.EnvParams,
                   policy_init: Callable,
                   policy_step: Callable,
                   max_steps: int = 960,
-                  record_flight_path: bool = False):
+                  record_flight_path: bool = False,
+                  mesh=None):
   """Returns a jitted function evaluating a batch of seeds.
 
   Args:
@@ -68,6 +69,10 @@ def build_eval_fn(env_params: env_lib.EnvParams,
     max_steps: episode cap (suites use 960).
     record_flight_path: also return (B, T, 6) [x_km, y_km, pressure, super-
       pressure, elapsed_s, soc] trajectories.
+    mesh: optional 1-axis jax.sharding.Mesh; the seed batch (and hence
+      every env) is sharded across its devices — the multi-chip version
+      of the reference's --num_shards seed slicing (eval/eval.py:125-128),
+      with no result merging step.
 
   Returns:
     eval_fn(seeds: int32 (B,)) -> dict of result arrays.
@@ -140,7 +145,20 @@ def build_eval_fn(env_params: env_lib.EnvParams,
       result['flight_path'] = paths
     return result
 
-  return jax.jit(jax.vmap(single))
+  batched = jax.vmap(single)
+  if mesh is None:
+    return jax.jit(batched)
+
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  axis = mesh.axis_names[0]
+  sharded = jax.jit(batched,
+                    in_shardings=NamedSharding(mesh, P(axis)),
+                    out_shardings=NamedSharding(mesh, P(axis)))
+
+  def eval_fn(seeds):
+    return sharded(jax.device_put(seeds, NamedSharding(mesh, P(axis))))
+
+  return eval_fn
 
 
 def evaluate(eval_fn, seeds: Sequence[int], batch_size: int = 0

@@ -7,6 +7,8 @@ All angles are radians on device.
 
 import jax.numpy as jnp
 
+from ble_tpu.ops import pmath
+
 EARTH_RADIUS_M = 6371.0 * 1000.0  # Spherical approximation, as reference.
 
 
@@ -28,7 +30,7 @@ def latlng_from_offset(center_lat_rad, center_lng_rad, x_m, y_m):
     (lat_rad, lng_rad) of the displaced point; lat clamped to +-pi/2,
     lng wrapped to (-pi, pi].
   """
-  heading = jnp.arctan2(x_m, y_m)  # 0 = North, increases East.
+  heading = pmath.atan2(x_m, y_m)  # 0 = North, increases East.
   angle = relative_distance(x_m, y_m) / EARTH_RADIUS_M
 
   cos_angle = jnp.cos(angle)
@@ -38,12 +40,12 @@ def latlng_from_offset(center_lat_rad, center_lng_rad, x_m, y_m):
 
   sin_lat = cos_angle * sin_from_lat + sin_angle * cos_from_lat * jnp.cos(
       heading)
-  d_lng = jnp.arctan2(sin_angle * cos_from_lat * jnp.sin(heading),
+  d_lng = pmath.atan2(sin_angle * cos_from_lat * jnp.sin(heading),
                       cos_angle - sin_from_lat * sin_lat)
 
-  new_lat = jnp.arcsin(jnp.clip(sin_lat, -1.0, 1.0))
+  new_lat = pmath.asin(jnp.clip(sin_lat, -1.0, 1.0))
   new_lat = jnp.clip(new_lat, -jnp.pi / 2.0, jnp.pi / 2.0)
   new_lng = center_lng_rad + d_lng
   # Normalize longitude to (-pi, pi].
-  new_lng = jnp.mod(new_lng + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+  new_lng = new_lng - jnp.floor((new_lng + jnp.pi) / (2.0 * jnp.pi)) * (2.0 * jnp.pi)
   return new_lat, new_lng
