@@ -59,8 +59,7 @@ def main():
     def body(carry, key):
       # Random policy (BASELINE config 3: 4096 envs, random agent).
       actions = jax.random.randint(key, (num_envs,), 0, 3)
-      out = jax.vmap(functools.partial(env_lib.step, env_params))(carry,
-                                                                  actions)
+      out = env_lib.step_batched(env_params, carry, actions)
       return out.state, out.reward
     state, rewards = jax.lax.scan(body, state, keys)
     return rewards.sum(), rewards.mean()

@@ -156,70 +156,87 @@ def calculate_superpressure_and_volume(mols_lift_gas, mols_air,
   return envelope_volume, superpressure
 
 
-def _substep(params: BalloonParams,
-             atmosphere: atmosphere_lib.AtmosphereParams,
-             state: BalloonState, wind_u, wind_v, action,
-             stride_s: float) -> BalloonState:
+# Field names of the dynamic variables that the physics substep reads and
+# writes, in the packing order used by the fused Pallas kernel
+# (ops/pallas_physics.py).
+SUBSTEP_F32_FIELDS = (
+    'x_m', 'y_m', 'pressure_pa', 'ambient_temperature_k',
+    'internal_temperature_k', 'mols_air', 'envelope_volume_m3',
+    'superpressure_pa', 'acs_power_w', 'acs_mass_flow_kg_s',
+    'solar_charging_w', 'power_load_w', 'battery_charge_j',
+    'upwelling_infrared_w_m2', 'center_lat_rad', 'center_lng_rad')
+SUBSTEP_I32_FIELDS = ('time_s', 'time_elapsed_s', 'status')
+
+
+def substep_math(params: BalloonParams, at_pressure_fn, v: dict, wind_u,
+                 wind_v, action, stride_s: float) -> dict:
   """One physics substep (reference _simulate_step_internal,
-  balloon.py:356-549). All reads come from the incoming `state`, matching
-  the reference's apply-at-end state_changes dict."""
-  dt = jnp.float32(stride_s)
+  balloon.py:356-549) on a plain dict of arrays.
+
+  Shared verbatim between the XLA path (via `_substep`) and the fused
+  Pallas kernel. All reads come from the incoming dict, matching the
+  reference's apply-at-end state_changes semantics. `at_pressure_fn` maps
+  pressure -> (height_m, temperature_k); `params` leaves may be jnp
+  scalars (XLA) or Python floats (baked into the kernel).
+  """
+  dt = stride_s
 
   # Step 1: advection (balloon.py:394-395).
-  new_x = state.x_m + wind_u * dt
-  new_y = state.y_m + wind_v * dt
+  new_x = v['x_m'] + wind_u * dt
+  new_y = v['y_m'] + wind_v * dt
 
   # Step 2: buoyancy -> dh/dt -> dp/dt (balloon.py:412-445).
-  rho_air = (state.pressure_pa * constants.DRY_AIR_MOLAR_MASS) / (
-      constants.UNIVERSAL_GAS_CONSTANT * state.ambient_temperature_k)
-  drag = params.envelope_cod * pmath.powf(state.envelope_volume_m3, 2.0 / 3.0)
+  rho_air = (v['pressure_pa'] * constants.DRY_AIR_MOLAR_MASS) / (
+      constants.UNIVERSAL_GAS_CONSTANT * v['ambient_temperature_k'])
+  drag = params.envelope_cod * pmath.powf(v['envelope_volume_m3'], 2.0 / 3.0)
   total_flight_system_mass = (
       constants.HE_MOLAR_MASS * params.mols_lift_gas +
-      constants.DRY_AIR_MOLAR_MASS * state.mols_air + params.envelope_mass +
+      constants.DRY_AIR_MOLAR_MASS * v['mols_air'] + params.envelope_mass +
       params.payload_mass)
-  buoyant = rho_air * state.envelope_volume_m3 >= total_flight_system_mass
+  buoyant = rho_air * v['envelope_volume_m3'] >= total_flight_system_mass
   direction = jnp.where(buoyant, 1.0, -1.0)
   dh_dt = direction * jnp.sqrt(
-      jnp.abs(2 * (rho_air * state.envelope_volume_m3 -
+      jnp.abs(2 * (rho_air * v['envelope_volume_m3'] -
                    total_flight_system_mass) * constants.GRAVITY /
               (rho_air * drag)))
   dp = 1.0  # [Pa]
-  height0, _, _ = atmosphere_lib.at_pressure(atmosphere, state.pressure_pa)
-  height1, _, _ = atmosphere_lib.at_pressure(atmosphere,
-                                             state.pressure_pa + direction * dp)
+  height0, _ = at_pressure_fn(v['pressure_pa'])
+  height1, _ = at_pressure_fn(v['pressure_pa'] + direction * dp)
   dp_dh = direction * dp / (height1 - height0)
   dp_dt = dp_dh * dh_dt
-  new_pressure = state.pressure_pa + dp_dt * dt
+  new_pressure = v['pressure_pa'] + dp_dt * dt
 
   # Step 3: ambient + internal temperature (balloon.py:447-467).
-  lat, lng = latlng(state)
+  lat, lng = spherical.latlng_from_offset(v['center_lat_rad'],
+                                          v['center_lng_rad'], v['x_m'],
+                                          v['y_m'])
   solar_elevation, _, solar_flux = solar.solar_calculator(lat, lng,
-                                                          state.time_s)
-  _, new_ambient_temp, _ = atmosphere_lib.at_pressure(atmosphere,
-                                                      state.pressure_pa)
+                                                          v['time_s'])
+  _, new_ambient_temp = at_pressure_fn(v['pressure_pa'])
   d_internal_temp = thermal.d_balloon_temperature_dt(
-      state.envelope_volume_m3, params.envelope_mass,
-      state.internal_temperature_k, state.ambient_temperature_k,
-      state.pressure_pa, solar_elevation, solar_flux,
-      state.upwelling_infrared_w_m2)
-  new_internal_temp = state.internal_temperature_k + d_internal_temp * dt
+      v['envelope_volume_m3'], params.envelope_mass,
+      v['internal_temperature_k'], v['ambient_temperature_k'],
+      v['pressure_pa'], solar_elevation, solar_flux,
+      v['upwelling_infrared_w_m2'])
+  new_internal_temp = v['internal_temperature_k'] + d_internal_temp * dt
 
   # Step 4: superpressure & volume (balloon.py:469-482).
   new_volume, new_superpressure = calculate_superpressure_and_volume(
-      params.mols_lift_gas, state.mols_air, state.internal_temperature_k,
-      state.pressure_pa, params.envelope_volume_base,
+      params.mols_lift_gas, v['mols_air'], v['internal_temperature_k'],
+      v['pressure_pa'], params.envelope_volume_base,
       params.envelope_volume_dv_pressure)
 
   # Step 5: ACS (balloon.py:484-519).
-  pr = pressure_ratio(state)
+  sp_pos = jnp.maximum(v['superpressure_pa'], 0.0)
+  pr = (v['pressure_pa'] + sp_pos) / v['pressure_pa']
   # UP: vent air through the valve.
   valve_area = jnp.pi * params.acs_valve_hole_diameter_m ** 2 / 4.0
   default_valve_hole_cd = 0.62
-  gas_density = (state.superpressure_pa + state.pressure_pa) * (
+  gas_density = (v['superpressure_pa'] + v['pressure_pa']) * (
       constants.DRY_AIR_MOLAR_MASS /
-      (constants.UNIVERSAL_GAS_CONSTANT * state.internal_temperature_k))
+      (constants.UNIVERSAL_GAS_CONSTANT * v['internal_temperature_k']))
   up_mass_flow = -default_valve_hole_cd * valve_area * jnp.sqrt(
-      2.0 * jnp.maximum(state.superpressure_pa, 0.0) * gas_density)
+      2.0 * sp_pos * gas_density)
   # DOWN: run the compressor at the most efficient power.
   down_power = acs.get_most_efficient_power(pr)
   down_eff = acs.get_fan_efficiency(pr, down_power)
@@ -231,22 +248,22 @@ def _substep(params: BalloonParams,
       jnp.where(action == safety.DOWN, down_mass_flow, 0.0))
 
   new_mols_air = jnp.maximum(
-      state.mols_air +
+      v['mols_air'] +
       (new_acs_mass_flow / constants.DRY_AIR_MOLAR_MASS) * dt, 0.0)
 
   # Step 6: power & battery (balloon.py:521-542).
   is_day = solar_elevation > solar.MIN_SOLAR_EL_DEG
   new_solar_charging = jnp.where(
-      is_day, solar.solar_power(solar_elevation, state.pressure_pa), 0.0)
+      is_day, solar.solar_power(solar_elevation, v['pressure_pa']), 0.0)
   new_power_load = jnp.where(is_day, params.daytime_power_load_w,
                              params.nighttime_power_load_w) + new_acs_power
   new_battery = jnp.clip(
-      state.battery_charge_j + (new_solar_charging - new_power_load) * dt,
+      v['battery_charge_j'] + (new_solar_charging - new_power_load) * dt,
       0.0, params.battery_capacity_j)
 
   # Terminal statuses; assignment order in the reference dict makes
   # OUT_OF_POWER override BURST/ZEROPRESSURE in the same substep.
-  new_status = jnp.full_like(state.status, STATUS_OK)
+  new_status = jnp.full_like(v['status'], STATUS_OK)
   new_status = jnp.where(new_superpressure > params.envelope_max_superpressure,
                          STATUS_BURST, new_status)
   new_status = jnp.where(new_superpressure <= 0.0, STATUS_ZEROPRESSURE,
@@ -254,23 +271,45 @@ def _substep(params: BalloonParams,
   new_status = jnp.where(new_battery <= 0.0, STATUS_OUT_OF_POWER, new_status)
 
   stride_i = jnp.int32(stride_s)
-  return state.replace(
-      x_m=new_x,
-      y_m=new_y,
-      pressure_pa=new_pressure,
-      ambient_temperature_k=new_ambient_temp,
-      internal_temperature_k=new_internal_temp,
-      envelope_volume_m3=new_volume,
-      superpressure_pa=new_superpressure,
-      acs_power_w=new_acs_power,
-      acs_mass_flow_kg_s=new_acs_mass_flow,
-      mols_air=new_mols_air,
-      solar_charging_w=new_solar_charging,
-      power_load_w=new_power_load,
-      battery_charge_j=new_battery,
-      status=new_status,
-      time_s=state.time_s + stride_i,
-      time_elapsed_s=state.time_elapsed_s + stride_i)
+  return {
+      'x_m': new_x,
+      'y_m': new_y,
+      'pressure_pa': new_pressure,
+      'ambient_temperature_k': new_ambient_temp,
+      'internal_temperature_k': new_internal_temp,
+      'mols_air': new_mols_air,
+      'envelope_volume_m3': new_volume,
+      'superpressure_pa': new_superpressure,
+      'acs_power_w': new_acs_power,
+      'acs_mass_flow_kg_s': new_acs_mass_flow,
+      'solar_charging_w': new_solar_charging,
+      'power_load_w': new_power_load,
+      'battery_charge_j': new_battery,
+      'upwelling_infrared_w_m2': v['upwelling_infrared_w_m2'],
+      'center_lat_rad': v['center_lat_rad'],
+      'center_lng_rad': v['center_lng_rad'],
+      'time_s': v['time_s'] + stride_i,
+      'time_elapsed_s': v['time_elapsed_s'] + stride_i,
+      'status': new_status,
+  }
+
+
+def _substep(params: BalloonParams,
+             atmosphere: atmosphere_lib.AtmosphereParams,
+             state: BalloonState, wind_u, wind_v, action,
+             stride_s: float) -> BalloonState:
+  """Pytree wrapper around `substep_math` (XLA path)."""
+  def at_pressure_fn(pressure):
+    height, temperature, _ = atmosphere_lib.at_pressure(atmosphere, pressure)
+    return height, temperature
+
+  v = {name: getattr(state, name)
+       for name in SUBSTEP_F32_FIELDS + SUBSTEP_I32_FIELDS}
+  out = substep_math(params, at_pressure_fn, v, wind_u, wind_v, action,
+                     jnp.float32(stride_s))
+  return state.replace(**{k: out[k] for k in out
+                          if k not in ('center_lat_rad', 'center_lng_rad',
+                                       'upwelling_infrared_w_m2')})
 
 
 def effective_action(params: BalloonParams,

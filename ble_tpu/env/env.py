@@ -16,7 +16,7 @@ which keeps the hot step free of VAE decodes and sunrise searches.
 arrays, so orbax can save/restore it directly.
 """
 
-import math
+import functools
 from typing import Callable, NamedTuple
 
 import jax
@@ -205,7 +205,41 @@ def step(params: EnvParams, state: EnvState, action) -> StepOutput:
   balloon = balloon_lib.simulate_step(
       params.balloon, state.atmosphere, state.balloon, state.wind_u,
       state.wind_v, jnp.asarray(action, jnp.int32))
+  return _post_physics(params, state, balloon)
 
+
+def step_batched(params: EnvParams, state: EnvState, actions,
+                 physics: str = 'auto') -> StepOutput:
+  """Batched agent step with the physics backend made explicit.
+
+  `state` leaves carry a leading env axis (from a vmapped reset).
+
+  physics: 'fused' runs the substep loop as ONE Pallas kernel
+  (ops/pallas_physics.py) -- the production TPU path; 'xla' vmaps the
+  scan-based path; 'auto' picks by backend. Everything after physics
+  (wind measurement, GP update, features, reward) is identical vmapped
+  code in all cases.
+  """
+  if physics == 'auto':
+    physics = 'fused' if jax.default_backend() == 'tpu' else 'xla'
+  actions = jnp.asarray(actions, jnp.int32)
+  if physics == 'fused':
+    from ble_tpu.ops import pallas_physics
+    balloon = pallas_physics.simulate_step_fused(
+        params.balloon, state.atmosphere, state.balloon, state.wind_u,
+        state.wind_v, actions)
+  else:
+    balloon = jax.vmap(
+        lambda a, b, u, v, act: balloon_lib.simulate_step(
+            params.balloon, a, b, u, v, act))(
+                state.atmosphere, state.balloon, state.wind_u, state.wind_v,
+                actions)
+  return jax.vmap(functools.partial(_post_physics, params))(state, balloon)
+
+
+def _post_physics(params: EnvParams, state: EnvState,
+                  balloon: balloon_lib.BalloonState) -> StepOutput:
+  """Everything after the physics substeps (single env; vmap for batches)."""
   # New measurement at the new position/time.
   elapsed = balloon.time_elapsed_s.astype(jnp.float32)
   wind_u, wind_v = wind_field_lib.get_ground_truth(

@@ -41,16 +41,15 @@ _ENVELOPE_TABLE = jnp.asarray([
 def envelope_safety(envelope_state, action, superpressure,
                     max_superpressure):
   """Returns (new_state, effective_action)."""
+  shape = jnp.shape(superpressure)
   thresholds = jnp.stack([
-      jnp.broadcast_to(jnp.float32(ENVELOPE_CRITICAL_BUFFER),
-                       jnp.shape(superpressure)),
-      jnp.broadcast_to(jnp.float32(ENVELOPE_BUFFER), jnp.shape(superpressure)),
-      jnp.broadcast_to(
-          jnp.float32(ENVELOPE_BUFFER + ENVELOPE_RESTART_HYSTERESIS),
-          jnp.shape(superpressure)),
-      max_superpressure - ENVELOPE_BUFFER - ENVELOPE_RESTART_HYSTERESIS,
-      max_superpressure - ENVELOPE_BUFFER,
-      max_superpressure - ENVELOPE_CRITICAL_BUFFER,
+      jnp.broadcast_to(jnp.asarray(t, jnp.float32), shape) for t in (
+          ENVELOPE_CRITICAL_BUFFER,
+          ENVELOPE_BUFFER,
+          ENVELOPE_BUFFER + ENVELOPE_RESTART_HYSTERESIS,
+          max_superpressure - ENVELOPE_BUFFER - ENVELOPE_RESTART_HYSTERESIS,
+          max_superpressure - ENVELOPE_BUFFER,
+          max_superpressure - ENVELOPE_CRITICAL_BUFFER)
   ], axis=-1)
   region = jnp.sum(
       (superpressure[..., None] >= thresholds).astype(jnp.int32), axis=-1)

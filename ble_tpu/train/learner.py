@@ -103,8 +103,7 @@ def env_step(config: TrainConfig, env_params: env_lib.EnvParams,
   else:
     mp, actions = ts.mp, rl_actions
 
-  out = jax.vmap(functools.partial(env_lib.step, env_params))(
-      ts.env_state, actions)
+  out = env_lib.step_batched(env_params, ts.env_state, actions)
 
   terminal = jnp.logical_and(ts.active, out.done)
   rep = replay_lib.add(ts.replay, config.replay, ts.obs, actions, out.reward,
