@@ -56,8 +56,11 @@ class LstmQuantileNetwork(nn.Module):
     return carry, (q_values, logits)
 
   def initial_state(self, rng, batch_shape=()):
-    return nn.OptimizedLSTMCell(self.lstm_units).initialize_carry(
-        rng, batch_shape + (self.hidden_units,))
+    # An LSTM carry is (c, h); flax initializes both to zeros. Built
+    # directly because initialize_carry needs a bound module scope.
+    del rng
+    zeros = jnp.zeros(batch_shape + (self.lstm_units,), jnp.float32)
+    return (zeros, zeros)
 
 
 class QuantileNetwork(nn.Module):

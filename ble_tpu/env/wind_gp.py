@@ -33,6 +33,16 @@ from flax import struct
 CAPACITY = 128
 TIME_HORIZON_S = 6 * 3600
 
+# TPU matmuls default to bf16 inputs; the masked-kernel inverse is wildly
+# ill-conditioned in the normal regime (the balloon barely moves between
+# 3-minute observations, so kernel rows are near-duplicates and the schur
+# complements cancel to ~sigma_noise^2 = 0.05 out of operands of ~13).
+# bf16 error (~4e-3 relative) swamps that cancellation and the inverse
+# blows up to inf within a handful of steps. Every contraction touching
+# kinv/alpha therefore runs at HIGHEST (true f32) precision; the cost is
+# negligible (rank-8 updates on a 128x128 matrix).
+_PREC = jax.lax.Precision.HIGHEST
+
 LENGTH_SCALES = jnp.asarray([357000.0, 357000.0, 326.0, 34560.0], jnp.float32)
 SIGMA_EXP_SQUARED = 3.6 ** 2
 SIGMA_NOISE_SQUARED = 0.05
@@ -83,10 +93,13 @@ def _downdate(kinv, active, slot_onehot):
   slot_onehot: (CAP,) float one-hot of the slot to remove (no-op if the
   zero vector).
   """
-  any_remove = jnp.sum(slot_onehot) > 0
-  col = kinv @ slot_onehot  # (CAP,) = kinv[:, s].
-  d = jnp.dot(slot_onehot, col)  # kinv[s, s] (1.0 for identity slots).
-  safe_d = jnp.where(jnp.abs(d) > 1e-20, d, 1.0)
+  any_remove = jnp.sum(slot_onehot) > 0.0
+  col = jnp.matmul(kinv, slot_onehot, precision=_PREC)  # kinv[:, s].
+  d = jnp.dot(slot_onehot, col, precision=_PREC)  # kinv[s, s].
+  # Exact arithmetic gives d = (K^-1)_ss >= 1/K_ss; clamp to that bound so
+  # float error can never flip the sign or explode the division.
+  d_min = 1.0 / (SIGMA_EXP_SQUARED + SIGMA_NOISE_SQUARED)
+  safe_d = jnp.where(jnp.abs(d) > d_min, d, jnp.where(any_remove, d_min, 1.0))
   # Since kinv[s, :] == col^T (symmetry), the Schur subtraction already
   # zeroes row/col s; restoring the identity slot is +outer(e, e). One
   # fused rank-2 update, no masks.
@@ -100,16 +113,18 @@ def _downdate(kinv, active, slot_onehot):
 def _insert(kinv, active, locations, loc, slot):
   """Bordered-inverse insert of a new observation at `slot`."""
   v = jnp.where(active, _kernel_vec(loc, locations), 0.0)  # (CAP,)
-  u = kinv @ v
+  u = jnp.matmul(kinv, v, precision=_PREC)
   d = SIGMA_EXP_SQUARED + SIGMA_NOISE_SQUARED
-  schur = d - jnp.dot(v, u)
-  schur = jnp.maximum(schur, 1e-6)
+  # Exact schur >= sigma_noise^2 (posterior variance at an observed point
+  # cannot fall below the noise floor).
+  schur = jnp.maximum(d - jnp.dot(v, u, precision=_PREC),
+                      SIGMA_NOISE_SQUARED)
   e = (jnp.arange(CAPACITY) == slot).astype(jnp.float32)
   # Slot s is an identity row here (v[s] = 0, u[s] = 0), so the bordered
   # inverse collapses to one rank-1 update with w = u - e:
   #   kinv_z = kinv - outer(e, e);  kinv' = kinv_z + outer(w, w)/schur.
   w = u - e
-  kinv_new = kinv + jnp.outer(w, w) / schur - jnp.outer(e, e)
+  kinv_new = kinv + jnp.outer(w, w) / schur - jnp.outer(e, e)  # VPU ops.
   active = jnp.logical_or(active, e > 0.5)
   return kinv_new, active
 
@@ -166,7 +181,7 @@ def observe(state: WindGPState, x_m, y_m, pressure_pa, elapsed_s,
   # --- One batched matvec against the BASE inverse. ---
   rhs = jnp.concatenate([e1[:, None], e2[:, None], eo[:, None], v[:, None],
                          targets], axis=1)  # (CAP, 6)
-  m = kinv @ rhs  # (CAP, 6)
+  m = jnp.matmul(kinv, rhs, precision=_PREC)  # (CAP, 6)
 
   # --- Low-rank bookkeeping: kinv_final = kinv + sum_j c_j w_j w_j^T. ---
   ws = []
@@ -175,14 +190,16 @@ def observe(state: WindGPState, x_m, y_m, pressure_pa, elapsed_s,
   def cur_matvec(base_col, x):
     r = base_col
     for w, c in zip(ws, cs):
-      r = r + c * w * jnp.dot(w, x)
+      r = r + c * w * jnp.dot(w, x, precision=_PREC)
     return r
 
   def downdate_terms(base_col, e):
     col = cur_matvec(base_col, e)
-    d = jnp.dot(e, col)
-    safe_d = jnp.where(jnp.abs(d) > 1e-20, d, 1.0)
+    d = jnp.dot(e, col, precision=_PREC)
+    d_min = 1.0 / (SIGMA_EXP_SQUARED + SIGMA_NOISE_SQUARED)
     removing = jnp.sum(e) > 0
+    safe_d = jnp.where(jnp.abs(d) > d_min, d,
+                       jnp.where(removing, d_min, 1.0))
     ws.append(jnp.where(removing, col, 0.0))
     cs.append(-1.0 / safe_d)
     ws.append(e)  # Zero vector when not removing.
@@ -195,7 +212,8 @@ def observe(state: WindGPState, x_m, y_m, pressure_pa, elapsed_s,
   # Insert (bordered inverse; slot is an identity row at this point).
   u = cur_matvec(m[:, 3], v)
   d_new = SIGMA_EXP_SQUARED + SIGMA_NOISE_SQUARED
-  schur = jnp.maximum(d_new - jnp.dot(v, u), 1e-6)
+  schur = jnp.maximum(d_new - jnp.dot(v, u, precision=_PREC),
+                      SIGMA_NOISE_SQUARED)
   ws.append(u - slot_e)
   cs.append(1.0 / schur)
   ws.append(slot_e)
@@ -204,12 +222,13 @@ def observe(state: WindGPState, x_m, y_m, pressure_pa, elapsed_s,
   # --- One rank-8 update pass over kinv. ---
   w_mat = jnp.stack(ws, axis=1)  # (CAP, 8)
   c_vec = jnp.stack(cs)  # (8,)
-  kinv_new = kinv + (w_mat * c_vec) @ w_mat.T
+  kinv_new = kinv + jnp.matmul(w_mat * c_vec, w_mat.T, precision=_PREC)
 
   # alpha = kinv_final @ targets, expanded through the low-rank terms.
   alpha = m[:, 4:6]
   for w, c in zip(ws, cs):
-    alpha = alpha + c * w[:, None] * (w @ targets)[None, :]
+    alpha = alpha + c * w[:, None] * jnp.matmul(w, targets,
+                                                precision=_PREC)[None, :]
 
   return WindGPState(locations=locations, errors=errors, active=active_final,
                      kinv=kinv_new, alpha=alpha, count=state.count + 1)
@@ -224,15 +243,17 @@ def _exact_inverse(locations, active):
   diag = jnp.where(active, SIGMA_NOISE_SQUARED, 1.0)
   k_diag = jnp.diagonal(k)
   k = k * (1.0 - eye) + eye * (jnp.where(active, k_diag, 0.0) + diag)
-  chol = jax.lax.linalg.cholesky(k)
-  return jax.scipy.linalg.cho_solve((chol, True), eye)
+  with jax.default_matmul_precision('highest'):
+    chol = jax.lax.linalg.cholesky(k)
+    return jax.scipy.linalg.cho_solve((chol, True), eye)
 
 
 def refresh(state: WindGPState) -> WindGPState:
   """Recomputes the inverse exactly (also usable after checkpoint restore)."""
   kinv = _exact_inverse(state.locations, state.active)
   targets = jnp.where(state.active[:, None], state.errors, 0.0)
-  return state.replace(kinv=kinv, alpha=kinv @ targets)
+  return state.replace(kinv=kinv,
+                       alpha=jnp.matmul(kinv, targets, precision=_PREC))
 
 
 def query(state: WindGPState, query_locations) -> tuple:
@@ -253,8 +274,11 @@ def query(state: WindGPState, query_locations) -> tuple:
   k_star = _kernel(query_locations, state.locations)  # (N, CAPACITY)
   k_star = jnp.where(state.active[None, :], k_star, 0.0)
 
-  means = k_star @ state.alpha  # (N, 2)
-  v = k_star @ state.kinv  # (N, CAPACITY)
+  # HIGHEST precision: the variance is a cancellation of O(sigma_f^2)
+  # terms down to O(sigma_noise^2) in the near-duplicate regime; bf16
+  # matmul error is orders of magnitude larger than the result.
+  means = jnp.matmul(k_star, state.alpha, precision=_PREC)  # (N, 2)
+  v = jnp.matmul(k_star, state.kinv, precision=_PREC)  # (N, CAPACITY)
   var = SIGMA_EXP_SQUARED - jnp.sum(k_star * v, axis=-1)
   deviations = jnp.clip(var / SIGMA_EXP_SQUARED, 0.0, 1.0)
 

@@ -52,13 +52,35 @@ def seed_to_key(seed):
   return jax.random.split(jax.random.PRNGKey(seed))[1]
 
 
+def build_parametric_eval_fn(env_params: env_lib.EnvParams,
+                             field_fn: Callable,
+                             policy_init: Callable,
+                             policy_step: Callable,
+                             max_steps: int = 960,
+                             record_flight_path: bool = False):
+  """Like `build_eval_fn`, but the policy takes leading `params`.
+
+  policy_init(params, key) -> state; policy_step(params, state, obs, key)
+  -> (state, action). Returns eval_fn(params, seeds) which jits ONCE and
+  is reused across a training run (params are a traced argument, not
+  baked-in constants) — this is what periodic learning-curve evals use.
+  """
+  base = build_eval_fn(
+      env_params, field_fn,
+      policy_init=policy_init, policy_step=policy_step,
+      max_steps=max_steps, record_flight_path=record_flight_path,
+      _parametric=True)
+  return base
+
+
 def build_eval_fn(env_params: env_lib.EnvParams,
                   field_fn: Callable,
                   policy_init: Callable,
                   policy_step: Callable,
                   max_steps: int = 960,
                   record_flight_path: bool = False,
-                  mesh=None):
+                  mesh=None,
+                  _parametric: bool = False):
   """Returns a jitted function evaluating a batch of seeds.
 
   Args:
@@ -82,12 +104,18 @@ def build_eval_fn(env_params: env_lib.EnvParams,
   step = functools.partial(env_lib.step, env_params)
   radius_km = env_params.station_keeping_radius_km
 
-  def single(seed):
+  if _parametric:
+    pinit, pstep = policy_init, policy_step
+  else:
+    pinit = lambda params, key: policy_init(key)
+    pstep = lambda params, state, obs, key: policy_step(state, obs, key)
+
+  def single(params, seed):
     key = seed_to_key(seed)
     env_state, obs = reset(key)
     pkey, akey = jax.random.split(jax.random.fold_in(key, 1))
-    pstate = policy_init(pkey)
-    pstate, action = policy_step(pstate, obs, akey)
+    pstate = pinit(params, pkey)
+    pstate, action = pstep(params, pstate, obs, akey)
 
     def body(carry, step_key):
       env_state, pstate, action, active, acc = carry
@@ -110,7 +138,7 @@ def build_eval_fn(env_params: env_lib.EnvParams,
               jnp.logical_and(active, out.info['zeropressure'])),
       }
       active = jnp.logical_and(active, jnp.logical_not(out.done))
-      pstate, action = policy_step(pstate, out.observation, step_key)
+      pstate, action = pstep(params, pstate, out.observation, step_key)
       path = None
       if record_flight_path:
         b = out.state.balloon
@@ -145,13 +173,15 @@ def build_eval_fn(env_params: env_lib.EnvParams,
       result['flight_path'] = paths
     return result
 
-  batched = jax.vmap(single)
-  if mesh is None:
+  batched = jax.vmap(single, in_axes=(None, 0))
+  if _parametric:
     return jax.jit(batched)
+  if mesh is None:
+    return jax.jit(functools.partial(batched, None))
 
   from jax.sharding import NamedSharding, PartitionSpec as P
   axis = mesh.axis_names[0]
-  sharded = jax.jit(batched,
+  sharded = jax.jit(functools.partial(batched, None),
                     in_shardings=NamedSharding(mesh, P(axis)),
                     out_shardings=NamedSharding(mesh, P(axis)))
 

@@ -1,0 +1,171 @@
+"""QR-DQN learning-curve run (BASELINE config 4 validation).
+
+Trains the vectorized QR-DQN actor-learner and periodically evaluates the
+greedy policy on a fixed seed suite, writing a JSONL learning curve:
+
+  {"iteration": N, "env_steps": ..., "grad_steps": ..., "wall_s": ...,
+   "eval_mean_twr": ..., "eval_mean_reward": ..., "train_mean_reward": ...}
+
+This is the rebuild's counterpart of the reference's training-curve figure
+(docs/benchmarks.rst: eval TWR on small_eval during training, with the
+StationSeeker horizontal reference line). The StationSeeker baseline on the
+same suite is computed once and recorded in the first line.
+
+Example:
+  python -m examples.train_learning_curve --out /tmp/curve \
+      --num_envs 256 --iterations 200 --eval_every 5 --eval_seeds 64
+"""
+
+import argparse
+import functools
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ble_tpu.agents import qrdqn as qrdqn_lib
+from ble_tpu.agents import replay as replay_lib
+from ble_tpu.agents import station_seeker
+from ble_tpu.env import env as env_lib
+from ble_tpu.train import eval_lib
+from ble_tpu.train import learner as learner_lib
+from ble_tpu.train import train_lib
+
+
+def main():
+  p = argparse.ArgumentParser(description=__doc__)
+  p.add_argument('--out', type=str, required=True)
+  p.add_argument('--num_envs', type=int, default=256)
+  p.add_argument('--iterations', type=int, default=200,
+                 help='One iteration = one lockstep batch of episodes.')
+  p.add_argument('--episode_length', type=int, default=960)
+  p.add_argument('--chunk_steps', type=int, default=96)
+  p.add_argument('--eval_every', type=int, default=5)
+  p.add_argument('--ckpt_every', type=int, default=25,
+                 help='Checkpoint period in iterations (a checkpoint '
+                 'downloads the full TrainState incl. the replay ring '
+                 'from the device, so keep this sparse).')
+  p.add_argument('--eval_seeds', type=int, default=64,
+                 help='Seeds 0..N-1 (a small_eval-style fixed suite).')
+  p.add_argument('--eval_max_steps', type=int, default=960)
+  p.add_argument('--learning_rate', type=float, default=2e-6)
+  p.add_argument('--samples_per_insert', type=float, default=8.0)
+  p.add_argument('--prioritized', action='store_true')
+  p.add_argument('--wind_field', type=str, default='generative',
+                 choices=['generative', 'static'])
+  p.add_argument('--seed', type=int, default=0)
+  p.add_argument('--max_hours', type=float, default=0.0,
+                 help='Stop after this many wall-clock hours (0 = no cap).')
+  args = p.parse_args()
+
+  os.makedirs(args.out, exist_ok=True)
+  curve_path = os.path.join(args.out, 'curve.jsonl')
+
+  env_params = env_lib.EnvParams()
+  if args.wind_field == 'generative':
+    from ble_tpu.models import loader
+    decoder_params = loader.load_offlineskies22()
+    field_fn = env_lib.make_field_fn('generative', decoder_params)
+  else:
+    field_fn = env_lib.make_field_fn('static')
+
+  config = learner_lib.TrainConfig(
+      num_envs=args.num_envs,
+      episode_length=args.episode_length,
+      samples_per_insert=args.samples_per_insert,
+      qrdqn=qrdqn_lib.QrDqnConfig(learning_rate=args.learning_rate),
+      replay=replay_lib.ReplayConfig(prioritized=args.prioritized))
+
+  eval_seeds = jnp.arange(args.eval_seeds, dtype=jnp.int32)
+
+  # StationSeeker reference line on the same suite.
+  ss_eval = eval_lib.build_eval_fn(
+      env_params, field_fn, lambda key: (),
+      lambda state, obs, key: (state, station_seeker.pick_action(obs)),
+      max_steps=args.eval_max_steps)
+  t0 = time.perf_counter()
+  ss = jax.tree.map(np.asarray, ss_eval(eval_seeds))
+  baseline = {
+      'station_seeker_mean_twr': float(ss['time_within_radius'].mean()),
+      'station_seeker_mean_reward': float(ss['cumulative_reward'].mean()),
+      'eval_wall_s': round(time.perf_counter() - t0, 1),
+      'num_eval_seeds': args.eval_seeds,
+  }
+  with open(curve_path, 'a') as f:
+    f.write(json.dumps({'baseline': baseline}) + '\n')
+  print('baseline:', baseline, flush=True)
+
+  ts = learner_lib.init_train_state(jax.random.PRNGKey(args.seed), env_params,
+                                    field_fn, config)
+  start_iteration = 0
+  ts, latest = train_lib.restore_latest_checkpoint(args.out, ts)
+  start_iteration = latest + 1
+
+  chunk = jax.jit(functools.partial(learner_lib.run_episode_chunk, config,
+                                    env_params, num_steps=args.chunk_steps))
+  reset_ep = jax.jit(functools.partial(learner_lib.reset_episode,
+                                       env_params=env_params,
+                                       field_fn=field_fn, config=config))
+
+  greedy_fn = eval_lib.build_parametric_eval_fn(
+      env_params, field_fn,
+      policy_init=lambda params, key: (),
+      policy_step=lambda params, state, obs, key: (
+          state,
+          qrdqn_lib.select_action(config.qrdqn, params, obs, None,
+                                  epsilon=0.0)),
+      max_steps=args.eval_max_steps)
+
+  def greedy_eval(params):
+    return jax.tree.map(np.asarray, greedy_fn(params, eval_seeds))
+
+  run_start = time.perf_counter()
+  for iteration in range(start_iteration, args.iterations):
+    it_start = time.perf_counter()
+    ts = reset_ep(ts)
+    rewards = []
+    losses = []
+    steps_done = 0
+    while steps_done < args.episode_length:
+      n = min(args.chunk_steps, args.episode_length - steps_done)
+      if n != args.chunk_steps:
+        ts, metrics = jax.jit(functools.partial(
+            learner_lib.run_episode_chunk, config, env_params,
+            num_steps=n))(ts)
+      else:
+        ts, metrics = chunk(ts)
+      rewards.append(np.asarray(metrics['reward']))
+      losses.append(np.asarray(metrics['loss']))
+      steps_done += n
+    train_reward = float(np.concatenate(rewards).mean())
+    train_loss = float(np.concatenate(losses).mean())
+
+    record = {
+        'iteration': iteration,
+        'env_steps': int(ts.env_steps) * args.num_envs,
+        'grad_steps': int(np.asarray(ts.learner.train_steps)),
+        'train_mean_reward': train_reward,
+        'train_mean_loss': train_loss,
+        'iter_wall_s': round(time.perf_counter() - it_start, 1),
+        'total_wall_s': round(time.perf_counter() - run_start, 1),
+    }
+    if iteration % args.eval_every == 0 or iteration == args.iterations - 1:
+      ev = greedy_eval(ts.learner.params)
+      record['eval_mean_twr'] = float(ev['time_within_radius'].mean())
+      record['eval_mean_reward'] = float(ev['cumulative_reward'].mean())
+    if iteration % args.ckpt_every == 0 or iteration == args.iterations - 1:
+      train_lib.save_checkpoint(args.out, ts, iteration)
+    with open(curve_path, 'a') as f:
+      f.write(json.dumps(record) + '\n')
+    print(record, flush=True)
+    if args.max_hours and (time.perf_counter() - run_start) > args.max_hours * 3600:
+      train_lib.save_checkpoint(args.out, ts, iteration)
+      print('hit max_hours, stopping', flush=True)
+      break
+
+
+if __name__ == '__main__':
+  main()
