@@ -191,8 +191,14 @@ def sample(state: ReplayState, config: ReplayConfig, key: jax.Array):
 
 def update_priorities(state: ReplayState, config: ReplayConfig, env_idx,
                       slot, per_sample_loss) -> ReplayState:
-  """Sets sampled slots' priorities to sqrt(loss + eps) (Dopamine)."""
+  """Sets sampled slots' priorities to sqrt(loss + eps) (Dopamine).
+
+  Non-finite losses are replaced by priority 1.0: `add` seeds new slots
+  with max(priority), so one NaN here would otherwise poison the whole
+  priority lane permanently.
+  """
   new_p = jnp.sqrt(per_sample_loss + config.priority_epsilon)
+  new_p = jnp.where(jnp.isfinite(new_p), new_p, 1.0)
   return state.replace(
       priority=state.priority.at[env_idx, slot].set(new_p))
 

@@ -92,15 +92,21 @@ def reward_function(params: EnvParams, state: balloon_lib.BalloonState,
   return jnp.where(apply_penalty, reward * multiplier, reward)
 
 
-def _observe_and_features(params: EnvParams, state: EnvState):
+def _observe_and_features(params: EnvParams, state: EnvState,
+                          gp_enabled=True):
   """GP-observes the cached measurement and builds the feature vector
-  (reference balloon_arena.py:179-202 observe + get_features)."""
+  (reference balloon_arena.py:179-202 observe + get_features).
+
+  `gp_enabled=False` skips the GP insert -- used for frozen post-terminal
+  balloons, whose exact-duplicate measurements would destabilize the
+  incremental inverse (see wind_gp.observe)."""
   b = state.balloon
   elapsed = b.time_elapsed_s.astype(jnp.float32)
   forecast_u, forecast_v = wind_field_lib.get_forecast(
       state.wind, b.x_m, b.y_m, b.pressure_pa, elapsed)
   gp = wind_gp.observe(state.gp, b.x_m, b.y_m, b.pressure_pa, elapsed,
-                       state.wind_u - forecast_u, state.wind_v - forecast_v)
+                       state.wind_u - forecast_u, state.wind_v - forecast_v,
+                       enabled=gp_enabled)
   state = state.replace(gp=gp)
   obs = features_lib.get_features(params.balloon, b, gp, state.wind,
                                   state.atmosphere, state.sunrise_s,
@@ -240,6 +246,12 @@ def step_batched(params: EnvParams, state: EnvState, actions,
 def _post_physics(params: EnvParams, state: EnvState,
                   balloon: balloon_lib.BalloonState) -> StepOutput:
   """Everything after the physics substeps (single env; vmap for batches)."""
+  # The reference never steps a terminal balloon (balloon.py:288); here
+  # terminal balloons freeze in place, and their (exact-duplicate)
+  # measurements must not enter the GP (wind_gp.observe docstring). The
+  # step where the balloon BECOMES terminal still observes, like the
+  # reference's final arena.step.
+  was_ok = state.balloon.status == balloon_lib.STATUS_OK
   # New measurement at the new position/time.
   elapsed = balloon.time_elapsed_s.astype(jnp.float32)
   wind_u, wind_v = wind_field_lib.get_ground_truth(
@@ -253,7 +265,7 @@ def _post_physics(params: EnvParams, state: EnvState,
       sunset_s=_advance_past(state.sunset_s, balloon.time_s),
       steps=state.steps + 1)
 
-  state, obs = _observe_and_features(params, state)
+  state, obs = _observe_and_features(params, state, gp_enabled=was_ok)
 
   excess = balloon_lib.excess_energy(params.balloon, balloon)
   reward = reward_function(params, balloon, excess)

@@ -130,9 +130,19 @@ def _insert(kinv, active, locations, loc, slot):
 
 
 def observe(state: WindGPState, x_m, y_m, pressure_pa, elapsed_s,
-            error_u, error_v) -> WindGPState:
+            error_u, error_v, enabled=True) -> WindGPState:
   """Adds one (location, forecast-error) measurement
   (reference wind_gp.py:98-119) and expires stale ones.
+
+  `enabled=False` (a traced bool is fine) makes the call a no-op. The
+  harness uses this for frozen post-terminal balloons: repeatedly
+  inserting an EXACT duplicate point (frozen position + frozen clock)
+  drives the masked kernel towards rank deficiency; each bordered insert
+  then cancels O(sigma_f^2) operands down to the clamped noise floor and
+  the f32 rounding error compounds multiplicatively -- the inverse
+  blows up to inf within ~100 duplicate inserts. The reference never
+  steps a terminal balloon at all (balloon.py:288 asserts), so skipping
+  the observe matches its semantics exactly.
 
   All of this step's inverse modifications (<=2 window expiries, ring-slot
   eviction, one insert) are known before touching `kinv`, so they are
@@ -230,8 +240,12 @@ def observe(state: WindGPState, x_m, y_m, pressure_pa, elapsed_s,
     alpha = alpha + c * w[:, None] * jnp.matmul(w, targets,
                                                 precision=_PREC)[None, :]
 
-  return WindGPState(locations=locations, errors=errors, active=active_final,
-                     kinv=kinv_new, alpha=alpha, count=state.count + 1)
+  new_state = WindGPState(locations=locations, errors=errors,
+                          active=active_final, kinv=kinv_new, alpha=alpha,
+                          count=state.count + 1)
+  if enabled is True:  # Static fast path: no select needed.
+    return new_state
+  return jax.tree.map(lambda n, o: jnp.where(enabled, n, o), new_state, state)
 
 
 def _exact_inverse(locations, active):

@@ -180,3 +180,21 @@ def test_generative_field_env():
   step = jax.jit(functools.partial(env_lib.step, params))
   state, obs, reward, done, info = step(state, 1)
   assert np.all(np.isfinite(np.asarray(obs)))
+
+
+def test_terminal_env_freezes_gp(setup):
+  # A post-terminal balloon is frozen in place; its exact-duplicate
+  # measurements must not enter the GP (they would blow up the incremental
+  # inverse -- see wind_gp.observe). Count stays fixed and observations
+  # stay finite under repeated stepping.
+  _, reset, step = setup
+  state, _ = reset(jax.random.PRNGKey(3))
+  state = state.replace(balloon=state.balloon.replace(
+      status=jnp.int32(balloon_lib.STATUS_OUT_OF_POWER)))
+  count0 = int(state.gp.count)
+  for _ in range(20):
+    out = step(state, 1)
+    state = out.state
+  assert int(state.gp.count) == count0
+  assert bool(jnp.all(jnp.isfinite(out.observation)))
+  assert bool(jnp.all(jnp.isfinite(state.gp.kinv)))

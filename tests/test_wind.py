@@ -198,3 +198,27 @@ def test_vae_batched_decode():
   z = jax.random.normal(jax.random.PRNGKey(2), (4, vae.NUM_LATENTS))
   fields = vae.Decoder().apply(params, z)
   assert fields.shape == (4,) + wind_field.GRID_SHAPE
+
+
+def test_wind_gp_observe_disabled_is_noop():
+  state = wind_gp.init()
+  state = wind_gp.observe(state, 0.0, 0.0, 9000.0, 0.0, 1.0, -1.0)
+  frozen = wind_gp.observe(state, 5.0, 5.0, 9000.0, 180.0, 2.0, -2.0,
+                           enabled=jnp.bool_(False))
+  for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(frozen)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+  live = wind_gp.observe(state, 5.0, 5.0, 9000.0, 180.0, 2.0, -2.0,
+                         enabled=jnp.bool_(True))
+  assert int(live.count) == 2
+
+
+def test_wind_gp_duplicate_inserts_blow_up_without_guard():
+  # Documents WHY frozen balloons must not observe: ~150 exact-duplicate
+  # inserts destabilize the incremental f32 inverse (see wind_gp.observe
+  # docstring). The guard (enabled=False) is exercised by
+  # test_env.py::test_terminal_env_freezes_gp.
+  obs = jax.jit(wind_gp.observe)
+  state = wind_gp.init()
+  for _ in range(150):
+    state = obs(state, 1234.5, -987.0, 9000.0, 5000.0, 3.0, -2.0)
+  assert not bool(jnp.all(jnp.isfinite(state.kinv)))
