@@ -108,7 +108,10 @@ def quantile_loss(config: QrDqnConfig, params, target_params,
   per_sample = jnp.sum(jnp.mean(weight * huber / kappa, axis=2), axis=1)
 
   w = batch.get('weight', jnp.ones_like(per_sample))
-  loss = jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+  # Select-then-sum (not per_sample * w): a quarantined sample (w == 0) may
+  # carry inf/NaN per-sample loss, and 0 * inf = NaN would defeat the mask.
+  loss = (jnp.sum(jnp.where(w > 0, per_sample * w, 0.0)) /
+          jnp.maximum(jnp.sum(w), 1.0))
   metrics = {'loss': loss,
              'mean_q': jnp.mean(jnp.mean(theta, axis=-1)),
              'valid_frac': jnp.mean(w),
@@ -135,7 +138,9 @@ def train_step(config: QrDqnConfig, state: LearnerState,
   params = optax.apply_updates(state.params, updates)
   train_steps = state.train_steps + 1
   sync = (train_steps % config.target_update_period) == 0
-  target_params = jax.tree.map(
-      lambda t, p: jnp.where(sync, p, t), state.target_params, params)
+  # lax.cond expresses the periodic sync directly (measured equivalent to
+  # a per-leaf select on TPU -- XLA fuses either into the loop body).
+  target_params = jax.lax.cond(sync, lambda: params,
+                               lambda: state.target_params)
   return LearnerState(params=params, target_params=target_params,
                       opt_state=opt_state, train_steps=train_steps), metrics

@@ -169,7 +169,16 @@ def sample(state: ReplayState, config: ReplayConfig, key: jax.Array):
                           jnp.logical_not(hit_terminal)[:, None]], axis=1)
   coherent = jnp.all(jnp.logical_or(coherent_steps, ~need), axis=1)
   base_ok = valids[:, 0]
-  weight = jnp.logical_and(coherent, base_ok).astype(jnp.float32)
+  # Numerical quarantine: a transition containing a non-finite value (e.g.
+  # a physics edge case that slipped through) must not reach the gradient
+  # -- one inf/NaN sample permanently destroys the params. Costs one
+  # fused reduction over the (B, obs_dim) gather already in registers.
+  finite = jnp.logical_and(
+      jnp.all(jnp.isfinite(obs), axis=-1),
+      jnp.logical_and(jnp.all(jnp.isfinite(next_obs), axis=-1),
+                      jnp.isfinite(n_step_reward)))
+  weight = (jnp.logical_and(jnp.logical_and(coherent, base_ok), finite)
+            .astype(jnp.float32))
 
   if config.prioritized:
     # Dopamine scheme: importance weights 1/sqrt(prob), normalized by max.

@@ -199,10 +199,18 @@ def substep_math(params: BalloonParams, at_pressure_fn, v: dict, wind_u,
       jnp.abs(2 * (rho_air * v['envelope_volume_m3'] -
                    total_flight_system_mass) * constants.GRAVITY /
               (rho_air * drag)))
-  dp = 1.0  # [Pa]
-  height0, _ = at_pressure_fn(v['pressure_pa'])
-  height1, _ = at_pressure_fn(v['pressure_pa'] + direction * dp)
-  dp_dh = direction * dp / (height1 - height0)
+  _, new_ambient_temp = at_pressure_fn(v['pressure_pa'])
+  # dp/dh analytically from hydrostatic balance (the atmosphere profile is
+  # constructed from exactly this relation). The reference finite-differences
+  # at_pressure over +-1 Pa (balloon.py:425-445) -- benign in float64, but
+  # TPU transcendentals (log rel err ~1e-5; exp flushes ~1e-6 args to 1.0)
+  # give the height-from-pressure formula ~0.5 m absolute error near layer
+  # seams, where the 1 Pa height difference is ~0.6 m: h(p+1) - h(p) can
+  # evaluate to EXACTLY ZERO and the division to inf (observed in training
+  # at p ~= 8870 Pa, the 17 km seam). The closed form is singularity-free
+  # and saves two of the three at_pressure evaluations per substep.
+  dp_dh = -(constants.GRAVITY * v['pressure_pa'] /
+            (constants.DRY_AIR_SPECIFIC_GAS_CONSTANT * new_ambient_temp))
   dp_dt = dp_dh * dh_dt
   new_pressure = v['pressure_pa'] + dp_dt * dt
 
@@ -212,7 +220,6 @@ def substep_math(params: BalloonParams, at_pressure_fn, v: dict, wind_u,
                                           v['y_m'])
   solar_elevation, _, solar_flux = solar.solar_calculator(lat, lng,
                                                           v['time_s'])
-  _, new_ambient_temp = at_pressure_fn(v['pressure_pa'])
   d_internal_temp = thermal.d_balloon_temperature_dt(
       v['envelope_volume_m3'], params.envelope_mass,
       v['internal_temperature_k'], v['ambient_temperature_k'],

@@ -55,7 +55,10 @@ class MatplotlibRenderer(Renderer):
 
   @property
   def render_modes(self) -> Sequence[str]:
-    return ['human', 'rgb_array']
+    # 'tensorboard' mirrors the reference's summary-image mode
+    # (matplotlib_renderer.py:109-121): a (1, H, W, 3) float batch in
+    # [0, 1] ready for a summary writer's image() call.
+    return ['human', 'rgb_array', 'tensorboard']
 
   def render(self, mode: str = 'human') -> Optional[np.ndarray]:
     if mode not in self.render_modes:
@@ -98,4 +101,6 @@ class MatplotlibRenderer(Renderer):
     w, h = fig.canvas.get_width_height()
     image = buf.reshape(h, w, 4)[:, :, :3].copy()
     plt.close(fig)
+    if mode == 'tensorboard':
+      return image[np.newaxis].astype(np.float32) / 255.0
     return image

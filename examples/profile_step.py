@@ -1,0 +1,130 @@
+"""Per-stage timing of the batched env step: physics vs wind lookup vs GP
+observe vs GP query/features.
+
+Times each stage in isolation with a scan of STEPS iterations over a live
+batch (same methodology as bench.py: long scans returning scalars, so the
+remote-TPU tunnel's output download is amortized away).
+
+  python -m examples.profile_step --num_envs 4096 --steps 32
+"""
+
+import argparse
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ble_tpu.env import env as env_lib
+from ble_tpu.env import features as features_lib
+from ble_tpu.env import wind_field as wind_field_lib
+from ble_tpu.env import wind_gp
+from ble_tpu.generative import vae
+
+
+def timed(fn, *args, reps=3):
+  out = fn(*args)
+  jax.block_until_ready(out)
+  times = []
+  for _ in range(reps):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times.append(time.perf_counter() - t0)
+  return min(times)
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument('--num_envs', type=int, default=4096)
+  p.add_argument('--steps', type=int, default=32)
+  p.add_argument('--wind', type=str, default='generative')
+  args = p.parse_args()
+  n, steps = args.num_envs, args.steps
+
+  env_params = env_lib.EnvParams()
+  if args.wind == 'generative':
+    field_fn = env_lib.make_field_fn(
+        'generative', vae.init_decoder_params(jax.random.PRNGKey(0)))
+  else:
+    field_fn = env_lib.make_field_fn('static')
+
+  reset_b = jax.jit(jax.vmap(functools.partial(
+      env_lib.reset, params=env_params, field_fn=field_fn)))
+  keys = jax.random.split(jax.random.PRNGKey(42), n)
+  parts = [reset_b(keys[i:i + 512]) for i in range(0, n, 512)]
+  state = jax.tree.map(lambda *xs: jnp.concatenate(xs), *[s[0] for s in parts])
+  jax.block_until_ready(state)
+
+  def scan_stage(body):
+    """Scans `body` over a (state, key) carry and returns one scalar."""
+    def run(state, key):
+      def f(carry, i):
+        st, acc = body(carry[0], jax.random.fold_in(key, i), carry[1])
+        return (st, acc), ()
+      (state, acc), _ = jax.lax.scan(f, (state, jnp.float32(0.0)),
+                                     jnp.arange(steps))
+      return acc
+    return jax.jit(run)
+
+  # 1. Full step.
+  def full_body(st, key, acc):
+    actions = jax.random.randint(key, (n,), 0, 3)
+    out = env_lib.step_batched(env_params, st, actions)
+    return out.state, acc + out.reward.mean()
+  t_full = timed(scan_stage(full_body), state, jax.random.PRNGKey(0))
+
+  # 2. Physics only (fused kernel + state replace; no wind/GP/features).
+  def phys_body(st, key, acc):
+    actions = jax.random.randint(key, (n,), 0, 3)
+    if jax.default_backend() == 'tpu':
+      from ble_tpu.ops import pallas_physics
+      b = pallas_physics.simulate_step_fused(
+          env_params.balloon, st.atmosphere, st.balloon, st.wind_u,
+          st.wind_v, actions)
+    else:
+      import functools as ft
+      b = jax.vmap(lambda a, bb, u, v, act: __import__(
+          'ble_tpu.env.balloon', fromlist=['x']).simulate_step(
+              env_params.balloon, a, bb, u, v, act))(
+                  st.atmosphere, st.balloon, st.wind_u, st.wind_v, actions)
+    return st.replace(balloon=b), acc + b.pressure_pa.mean()
+
+  t_phys = timed(scan_stage(phys_body), state, jax.random.PRNGKey(0))
+
+  # 3. Wind ground-truth lookup (4-D interp + simplex noise).
+  def wind_body(st, key, acc):
+    u, v = jax.vmap(wind_field_lib.get_ground_truth)(
+        st.wind, st.balloon.x_m + acc, st.balloon.y_m,
+        st.balloon.pressure_pa, st.balloon.time_elapsed_s.astype(jnp.float32))
+    return st, acc + u.mean() + v.mean()
+  t_wind = timed(scan_stage(wind_body), state, jax.random.PRNGKey(0))
+
+  # 4. GP observe (incremental inverse update).
+  def gp_obs_body(st, key, acc):
+    gp = jax.vmap(wind_gp.observe)(
+        st.gp, st.balloon.x_m + acc, st.balloon.y_m, st.balloon.pressure_pa,
+        st.balloon.time_elapsed_s.astype(jnp.float32) + acc,
+        jnp.full((n,), 1.0), jnp.full((n,), -1.0))
+    return st.replace(gp=gp), acc + gp.alpha.sum() * 0.0 + 1.0
+  t_gp_obs = timed(scan_stage(gp_obs_body), state, jax.random.PRNGKey(0))
+
+  # 5. Features (GP query over 181 levels + pressure range + ambient).
+  def feat_body(st, key, acc):
+    obs = jax.vmap(functools.partial(features_lib.get_features,
+                                     env_params.balloon))(
+        st.balloon, st.gp, st.wind, st.atmosphere, st.sunrise_s, st.sunset_s)
+    return st, acc + obs.mean()
+  t_feat = timed(scan_stage(feat_body), state, jax.random.PRNGKey(0))
+
+  unit = 1e6 / (n * steps)  # -> us per env-step.
+  print(f'num_envs={n} steps={steps} backend={jax.default_backend()}')
+  for name, t in [('full step', t_full), ('physics (fused)', t_phys),
+                  ('wind lookup', t_wind), ('gp observe', t_gp_obs),
+                  ('features+gp query', t_feat)]:
+    print(f'{name:20s} {t*1e3:8.1f} ms total   {t*unit:8.4f} us/env-step   '
+          f'{n*steps/t/1e6:6.2f} M env-steps/s')
+
+
+if __name__ == '__main__':
+  main()

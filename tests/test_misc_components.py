@@ -101,6 +101,9 @@ def test_renderer_rgb_array():
   r.step(state)
   img = r.render('rgb_array')
   assert img.ndim == 3 and img.shape[2] == 3
+  tb = r.render('tensorboard')
+  assert tb.shape == (1,) + img.shape and tb.dtype == np.float32
+  assert 0.0 <= tb.min() and tb.max() <= 1.0
   assert 'human' in r.render_modes
 
 

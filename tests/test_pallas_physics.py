@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from ble_tpu.env import atmosphere as atmosphere_lib
 from ble_tpu.env import balloon as balloon_lib
 from ble_tpu.env import env as env_lib
 from ble_tpu.ops import pallas_physics
@@ -73,3 +74,57 @@ def test_fused_frozen_after_terminal():
       jnp.asarray([1, 1]), interpret=True)
   assert float(out.x_m[0]) == float(balloon.x_m[0])  # Frozen.
   assert float(out.x_m[1]) != float(balloon.x_m[1])  # Advected.
+
+
+def test_layer_seam_state_stays_finite():
+  """Regression: a balloon oscillating at the 17 km atmosphere layer seam.
+
+  Captured from a real TPU training run: the old finite-difference
+  dp/dh = 1 / (h(p+1) - h(p)) hit h(p+1) == h(p) EXACTLY under TPU
+  transcendental accuracy (log rel err ~1e-5; exp flushes ~1e-6 args to
+  1.0) and produced inf pressure -> NaN params. The analytic hydrostatic
+  dp/dh = -g*p/(R*T) is singularity-free on every backend.
+  """
+  import json
+  import os
+
+  path = os.path.join(os.path.dirname(__file__), 'layer_seam_state.json')
+  with open(path) as f:
+    d = json.load(f)
+
+  from ble_tpu.env import safety as safety_lib
+
+  balloon = balloon_lib.BalloonState(
+      **{k: jnp.asarray(v, jnp.float32 if isinstance(v, float) else jnp.int32)
+         for k, v in d['balloon'].items()},
+      power_safety=safety_lib.PowerSafetyState(
+          navigation_is_paused=jnp.asarray(
+              d['power_safety']['navigation_is_paused']),
+          sunrise_with_hysteresis_s=jnp.asarray(
+              d['power_safety']['sunrise_with_hysteresis_s'], jnp.int32),
+          sunset_s=jnp.asarray(d['power_safety']['sunset_s'], jnp.int32)))
+  atmo = atmosphere_lib.AtmosphereParams(
+      **{k: jnp.asarray(v, jnp.float32) for k, v in d['atmosphere'].items()})
+  params = balloon_lib.BalloonParams()
+
+  # 10 agent steps (180 substeps) through the seam: XLA path.
+  state = balloon
+  for _ in range(10):
+    state = balloon_lib.simulate_step(params, atmo, state, d['wind_u'],
+                                      d['wind_v'], jnp.int32(0))
+  for name in balloon_lib.SUBSTEP_F32_FIELDS:
+    val = getattr(state, name)
+    assert bool(jnp.isfinite(val)), (name, val)
+
+  # Fused kernel (interpret on CPU), batched.
+  e = 8
+  batched = jax.tree.map(lambda x: jnp.broadcast_to(x, (e,) + x.shape),
+                         balloon)
+  atmo_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (e,) + x.shape), atmo)
+  out = pallas_physics.simulate_step_fused(
+      params, atmo_b, batched, jnp.full((e,), d['wind_u']),
+      jnp.full((e,), d['wind_v']), jnp.zeros((e,), jnp.int32),
+      interpret=jax.default_backend() != 'tpu')
+  for name in balloon_lib.SUBSTEP_F32_FIELDS:
+    val = getattr(out, name)
+    assert bool(jnp.all(jnp.isfinite(val))), name
