@@ -113,8 +113,19 @@ def simplex4d(x, y, z, w, seed):
                               cell_i[..., 1] + offs[..., 1],
                               cell_i[..., 2] + offs[..., 2],
                               cell_i[..., 3] + offs[..., 3], seed)
-    grad = _GRAD4[gi]  # (..., 4)
-    total = total + tt ** 4 * jnp.sum(grad * d, axis=-1)
+    # grad . d computed branchlessly from the index bits -- _GRAD4[gi]
+    # is a batched-index gather, which XLA:TPU lowers to serialized
+    # selects (the same anti-pattern replaced by one-hot contractions
+    # elsewhere in this repo). _GRAD4[i] has component d equal to 0 when
+    # d == i>>3, else +-1 by bit (d adjusted past the zero dim) of i&7.
+    zero_dim = gi >> 3
+    signs = gi & 7
+    dot = jnp.zeros_like(total)
+    for dim in range(4):
+      bit = jnp.where(dim < zero_dim, dim, dim - 1)
+      sign = 2.0 * ((signs >> bit) & 1).astype(jnp.float32) - 1.0
+      dot = dot + jnp.where(dim == zero_dim, 0.0, sign * d[..., dim])
+    total = total + tt ** 4 * dot
   return 27.0 * total
 
 
