@@ -104,8 +104,15 @@ def effective_column(state: WindFieldState, x_m, y_m, elapsed_s):
   wy = _axis_weights(y_km, LATLNG_SLICES, -LATLNG_DISPLACEMENT_KM,
                      LATLNG_DISPLACEMENT_KM)
   wt = _axis_weights(t_hours, TIME_SLICES, 0.0, TIME_HORIZON_HOURS)
-  return jnp.einsum('...x,...y,...t,...xyptc->...pc', wx, wy, wt,
-                    state.field)
+  # Chained per-axis contractions, NOT one joint einsum: the joint
+  # '...x,...y,...t,...xyptc->...pc' form lowers to a kLoop VPU
+  # multiply-reduce fusion that a profiler trace showed consuming >90% of
+  # the whole env step at 4096 envs (2.2 ms/step); the chain lowers to
+  # three dot_generals that read the (650 MB at 4096 envs) field once at
+  # streaming bandwidth and shrink the operand 21x per stage.
+  col = jnp.einsum('...x,...xyptc->...yptc', wx, state.field)
+  col = jnp.einsum('...y,...yptc->...ptc', wy, col)
+  return jnp.einsum('...t,...ptc->...pc', wt, col)
 
 
 def get_forecast(state: WindFieldState, x_m, y_m, pressure_pa, elapsed_s):
