@@ -182,7 +182,7 @@ def reset(key: jax.Array, params: EnvParams,
       sunset_s=sunset))
 
   noise_key, forecast_key = jax.random.split(wind_key)
-  field = field_fn(forecast_key)
+  field = field_fn(forecast_key).astype(wind_field_lib.FIELD_DTYPE)
   seeds, offsets = wind_field_lib.reset_noise(noise_key)
   wind = wind_field_lib.WindFieldState(field=field, noise_seeds=seeds,
                                        noise_offsets=offsets)

@@ -43,10 +43,20 @@ _AXES = (
 )
 
 
+# Storage dtype for the forecast grid. bfloat16 halves the step's single
+# largest HBM stream (the 650 MB-at-4096-envs field read in
+# effective_column; contraction still accumulates in f32). The grid is a
+# VAE SAMPLE with +-1 m/s simplex noise added on top of every lookup, so
+# bf16's ~0.4% relative error (~0.06 m/s at typical wind speeds) is far
+# below the field's own modeling error. Set to jnp.float32 for bit-level
+# oracle comparisons.
+FIELD_DTYPE = jnp.bfloat16
+
+
 @struct.dataclass
 class WindFieldState:
   """Per-episode wind field: forecast grid + noise parameters."""
-  field: jnp.ndarray  # (21, 21, 10, 9, 2) float32, [u, v] in m/s.
+  field: jnp.ndarray  # (21, 21, 10, 9, 2) FIELD_DTYPE, [u, v] in m/s.
   noise_seeds: jnp.ndarray  # (2, 5) int32: per (component, harmonic).
   noise_offsets: jnp.ndarray  # (2, 5, 4) float32 in [-1, 1].
 
@@ -61,7 +71,8 @@ def reset_noise(key: jax.Array):
 
 def make_state(field: jnp.ndarray, key: jax.Array) -> WindFieldState:
   seeds, offsets = reset_noise(key)
-  return WindFieldState(field=field, noise_seeds=seeds, noise_offsets=offsets)
+  return WindFieldState(field=field.astype(FIELD_DTYPE), noise_seeds=seeds,
+                        noise_offsets=offsets)
 
 
 def _boomerang_hours(elapsed_s):
@@ -108,9 +119,14 @@ def effective_column(state: WindFieldState, x_m, y_m, elapsed_s):
   # '...x,...y,...t,...xyptc->...pc' form lowers to a kLoop VPU
   # multiply-reduce fusion that a profiler trace showed consuming >90% of
   # the whole env step at 4096 envs (2.2 ms/step); the chain lowers to
-  # three dot_generals that read the (650 MB at 4096 envs) field once at
-  # streaming bandwidth and shrink the operand 21x per stage.
-  col = jnp.einsum('...x,...xyptc->...yptc', wx, state.field)
+  # three dot_generals that read the field once at streaming bandwidth
+  # and shrink the operand 21x per stage. The first stage runs on the
+  # FIELD_DTYPE (bf16) stream with f32 accumulation; gather-based
+  # alternatives all lose on TPU (joint/per-dim dynamic_slice forces a
+  # 10-13x padded field relayout; flat minor-dim slices serialize, 10x
+  # slower end to end -- measured, see git history).
+  col = jnp.einsum('...x,...xyptc->...yptc', wx.astype(state.field.dtype),
+                   state.field, preferred_element_type=jnp.float32)
   col = jnp.einsum('...y,...yptc->...ptc', wy, col)
   return jnp.einsum('...t,...ptc->...pc', wt, col)
 
