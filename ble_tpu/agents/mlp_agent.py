@@ -63,6 +63,95 @@ def step(state: MLPAgentState, reward, obs, key) -> tuple:
   return state, action
 
 
+# --- Vectorized online learner (for the training harness) ---------------
+#
+# The reference trains the MLP agent through the generic train.py loop:
+# `agent.step(reward, obs)` selects a_t and TD-updates on the previous
+# transition (mlp_agent.py:61-90). The vectorized equivalent keeps one
+# shared network plus per-env "pending transition" lanes
+# (s_{t-1}, a_{t-1}, r_{t-1}); when a_t is chosen at s_t the pending SARSA
+# target r + gamma * Q(s_t, a_t) becomes computable and one batched SGD
+# step runs over all valid lanes.
+
+
+@struct.dataclass
+class MlpOnlineState:
+  params: Any
+  opt_state: Any
+  p_obs: jnp.ndarray  # (E, D)
+  p_action: jnp.ndarray  # (E,)
+  p_reward: jnp.ndarray  # (E,)
+  p_boot: jnp.ndarray  # (E,): gamma, or 0 if the pending step was terminal.
+  p_valid: jnp.ndarray  # (E,) bool
+
+
+def online_init(key: jax.Array, obs_dim: int,
+                num_envs: int) -> MlpOnlineState:
+  params = _NETWORK.init(key, jnp.zeros((obs_dim,)))
+  return MlpOnlineState(
+      params=params, opt_state=_OPT.init(params),
+      p_obs=jnp.zeros((num_envs, obs_dim)),
+      p_action=jnp.zeros((num_envs,), jnp.int32),
+      p_reward=jnp.zeros((num_envs,)),
+      p_boot=jnp.zeros((num_envs,)),
+      p_valid=jnp.zeros((num_envs,), jnp.bool_))
+
+
+def online_select(params, obs, key, epsilon=0.0):
+  q = _NETWORK.apply(params, obs)
+  greedy = jnp.argmax(q, axis=-1)
+  if isinstance(epsilon, float) and epsilon == 0.0:
+    return greedy
+  explore_key, action_key = jax.random.split(key)
+  random_actions = jax.random.randint(action_key, greedy.shape, 0,
+                                      q.shape[-1])
+  explore = jax.random.uniform(explore_key, greedy.shape) < epsilon
+  return jnp.where(explore, random_actions, greedy)
+
+
+def online_train(state: MlpOnlineState, obs, action, reward, done, active,
+                 grad_transform=None):
+  """One batched SARSA step on the pending transitions; rotates lanes.
+
+  Args:
+    obs: (E, D) the observations a_t was selected at (= pending next-state).
+    action: (E,) a_t.
+    reward: (E,) r_t from stepping a_t.
+    done: (E,) terminal after this step.
+    active: (E,) env was live at this step.
+  Returns (new_state, mean_loss).
+  """
+  def loss_fn(params):
+    q_prev = jnp.take_along_axis(
+        _NETWORK.apply(params, state.p_obs), state.p_action[:, None],
+        axis=-1)[:, 0]
+    q_next = jax.lax.stop_gradient(
+        jnp.take_along_axis(_NETWORK.apply(params, obs), action[:, None],
+                            axis=-1)[:, 0])
+    target = state.p_reward + state.p_boot * q_next
+    per_env = (q_prev - target) ** 2
+    w = state.p_valid.astype(jnp.float32)
+    return jnp.sum(per_env * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+  loss, grads = jax.value_and_grad(loss_fn)(state.params)
+  if grad_transform is not None:
+    grads = grad_transform(grads)
+  updates, opt_state = _OPT.update(grads, state.opt_state, state.params)
+  params = optax.apply_updates(state.params, updates)
+
+  return state.replace(
+      params=params, opt_state=opt_state,
+      p_obs=obs, p_action=action, p_reward=reward,
+      p_boot=jnp.where(done, 0.0, GAMMA),
+      p_valid=active), loss
+
+
+def online_invalidate(state: MlpOnlineState, mask) -> MlpOnlineState:
+  """Drops pending lanes for envs reset at a chunk boundary."""
+  return state.replace(p_valid=jnp.logical_and(state.p_valid,
+                                               jnp.logical_not(mask)))
+
+
 @base.register('mlp')
 class MLPAgent(base.FunctionalAgent):
 

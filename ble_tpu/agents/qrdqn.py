@@ -31,6 +31,11 @@ class QrDqnConfig:
   update_period: int = 4
   min_replay_history: int = 500
   kappa: float = 1.0  # Huber threshold.
+  # Optional warmup+cosine LR schedule (both 0 -> constant learning_rate,
+  # the reference setting). The schedule is indexed by learner train_steps.
+  lr_warmup_steps: int = 0
+  lr_decay_steps: int = 0
+  lr_final_scale: float = 1.0
 
 
 @struct.dataclass
@@ -48,7 +53,15 @@ def make_network(config: QrDqnConfig) -> networks.QuantileNetwork:
 
 
 def make_optimizer(config: QrDqnConfig):
-  return optax.adam(config.learning_rate, eps=config.adam_eps)
+  lr = config.learning_rate
+  if config.lr_warmup_steps or config.lr_decay_steps:
+    lr = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=config.learning_rate,
+        warmup_steps=max(int(config.lr_warmup_steps), 1),
+        decay_steps=max(int(config.lr_decay_steps),
+                        int(config.lr_warmup_steps) + 1),
+        end_value=config.learning_rate * config.lr_final_scale)
+  return optax.adam(lr, eps=config.adam_eps)
 
 
 def init(key: jax.Array, config: QrDqnConfig, obs_dim: int) -> LearnerState:

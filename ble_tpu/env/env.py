@@ -133,6 +133,22 @@ def reset(key: jax.Array, params: EnvParams,
   Returns:
     (EnvState, observation).
   """
+  wind_key = jax.random.split(key, 7)[6]
+  forecast_key = jax.random.split(wind_key)[1]
+  field = field_fn(forecast_key)
+  return reset_from_field(key, params, field)
+
+
+def reset_from_field(key: jax.Array, params: EnvParams, field: jnp.ndarray):
+  """`reset` with the forecast grid already decoded.
+
+  Splits `key` exactly like `reset` (the forecast sub-key is simply unused),
+  so `reset(key, p, f) == reset_from_field(key, p, f(forecast_key))`. This
+  is the auto-reset entry point: the harness batch-decodes fields OUTSIDE
+  the step scan (a VAE decode is one big matmul batch) and resets terminal
+  envs in place with pure jnp math (reference instead constructs fresh
+  Python arena objects per episode, balloon_arena.py:161).
+  """
   (atmo_key, time_key, offset_key, loc_key, pressure_key, ir_key,
    wind_key) = jax.random.split(key, 7)
 
@@ -181,8 +197,8 @@ def reset(key: jax.Array, params: EnvParams,
       sunrise_with_hysteresis_s=sunrise + safety.POWER_SUNRISE_HYSTERESIS_S,
       sunset_s=sunset))
 
-  noise_key, forecast_key = jax.random.split(wind_key)
-  field = field_fn(forecast_key).astype(wind_field_lib.FIELD_DTYPE)
+  noise_key, _forecast_key = jax.random.split(wind_key)
+  field = field.astype(wind_field_lib.FIELD_DTYPE)
   seeds, offsets = wind_field_lib.reset_noise(noise_key)
   wind = wind_field_lib.WindFieldState(field=field, noise_seeds=seeds,
                                        noise_offsets=offsets)

@@ -47,10 +47,18 @@ class MatplotlibRenderer(Renderer):
 
   def step(self, env_state) -> None:
     b = env_state.balloon
-    self._xs.append(float(np.asarray(b.x_m)) / 1000.0)
-    self._ys.append(float(np.asarray(b.y_m)) / 1000.0)
-    self._pressures.append(float(np.asarray(b.pressure_pa)))
-    soc = float(np.asarray(b.battery_charge_j)) / (3058.56 * 3600.0)
+    self.add_point(float(np.asarray(b.x_m)) / 1000.0,
+                   float(np.asarray(b.y_m)) / 1000.0,
+                   float(np.asarray(b.pressure_pa)),
+                   float(np.asarray(b.battery_charge_j)) / (3058.56 * 3600.0))
+
+  def add_point(self, x_km: float, y_km: float, pressure_pa: float,
+                soc: float) -> None:
+    """Appends one already-extracted track point (used by the training
+    harness, which streams env 0's track out of the device scan)."""
+    self._xs.append(x_km)
+    self._ys.append(y_km)
+    self._pressures.append(pressure_pa)
     self._socs.append(soc)
 
   @property

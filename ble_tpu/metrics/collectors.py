@@ -17,11 +17,18 @@ import numpy as np
 
 @dataclasses.dataclass
 class StatisticsInstance:
-  """Per-step statistics (reference statistics_instance.py:22)."""
+  """Per-step statistics (reference statistics_instance.py:22).
+
+  The vectorized harness reports one instance per lockstep batch step:
+  `action_histogram` carries the (num_actions,) action counts over live
+  envs (cheaper than shipping the full (E,) action array off-device) and
+  `terminal` the count of envs that terminated this step.
+  """
   step: int
   action: np.ndarray  # (E,) or scalar
   reward: np.ndarray
   terminal: np.ndarray
+  action_histogram: Optional[np.ndarray] = None  # (num_actions,) counts
 
 
 class Collector:
@@ -71,9 +78,13 @@ class ConsoleCollector(Collector):
 
   def step(self, statistics: StatisticsInstance) -> None:
     self._reward += float(np.mean(statistics.reward))
-    actions = np.atleast_1d(np.asarray(statistics.action))
-    for a in range(self._num_actions):
-      self._action_counts[a] += int(np.sum(actions == a))
+    if statistics.action_histogram is not None:
+      self._action_counts += np.asarray(statistics.action_histogram,
+                                        np.int64)
+    else:
+      actions = np.atleast_1d(np.asarray(statistics.action))
+      for a in range(self._num_actions):
+        self._action_counts[a] += int(np.sum(actions == a))
     self._steps += 1
 
   def end_episode(self, statistics: StatisticsInstance) -> None:

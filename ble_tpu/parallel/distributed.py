@@ -50,7 +50,8 @@ def shard_specs(ts: learner_lib.TrainState) -> learner_lib.TrainState:
       env_state=batched(ts.env_state),
       obs=P(ENV_AXIS),
       active=P(ENV_AXIS),
-      episode_step=P(),
+      episode_step=P(ENV_AXIS),
+      episode_return=P(ENV_AXIS),
       mp=batched(ts.mp),
       learner=replicated(ts.learner),
       replay=replay_lib.ReplayState(
@@ -58,7 +59,8 @@ def shard_specs(ts: learner_lib.TrainState) -> learner_lib.TrainState:
           terminal=P(ENV_AXIS), valid=P(ENV_AXIS),
           episode_step=P(ENV_AXIS), priority=P(ENV_AXIS), total=P()),
       key=P(),
-      env_steps=P())
+      env_steps=P(),
+      episodes_done=P())
 
 
 def build_distributed_step(mesh: Mesh, config: learner_lib.TrainConfig,
@@ -83,7 +85,15 @@ def build_distributed_step(mesh: Mesh, config: learner_lib.TrainConfig,
     grad_transform = lambda g: jax.lax.pmean(g, ENV_AXIS)
     ts, metrics = learner_lib.run_episode_chunk(
         local_config, env_params, ts, num_steps, grad_transform)
-    metrics = jax.tree.map(lambda m: jax.lax.pmean(m, ENV_AXIS), metrics)
+    # Counts are summed across shards; means averaged; env-0 debug track
+    # taken from shard 0 is meaningless globally, so it is dropped here.
+    metrics.pop('path', None)
+    counts = ('action_hist', 'terminals')
+    metrics = {
+        k: (jax.lax.psum(v, ENV_AXIS) if k in counts
+            else jax.lax.pmean(v, ENV_AXIS))
+        for k, v in metrics.items()
+    }
     ts = ts.replace(key=jax.random.fold_in(base_key, 0x5EED))
     return ts, metrics
 
@@ -94,6 +104,41 @@ def build_distributed_step(mesh: Mesh, config: learner_lib.TrainConfig,
     return fn(ts)
 
   return jax.jit(step)
+
+
+def build_distributed_reset(mesh: Mesh, config: learner_lib.TrainConfig,
+                            env_params: env_lib.EnvParams) -> Callable:
+  """Jitted `reset(train_state, fields) -> (train_state, stats)` over the
+  mesh: the selective per-env auto-reset (learner.selective_reset) with the
+  batch-decoded field pool sharded along the env axis."""
+  n_dev = mesh.devices.size
+  assert config.num_envs % n_dev == 0, (config.num_envs, n_dev)
+  local_config = config.replace(num_envs=config.num_envs // n_dev)
+
+  def local_reset(ts: learner_lib.TrainState, fields):
+    idx = jax.lax.axis_index(ENV_AXIS)
+    base_key = ts.key
+    base_done = ts.episodes_done
+    ts = ts.replace(key=jax.random.fold_in(base_key, idx ^ 0x2E5E7))
+    ts, stats = learner_lib.selective_reset(ts, env_params, local_config,
+                                            fields)
+    # Keep the replicated lanes replicated: one shared key advance, and
+    # episode counting via a psum of the per-shard increments.
+    increment = jax.lax.psum(ts.episodes_done - base_done, ENV_AXIS)
+    ts = ts.replace(key=jax.random.fold_in(base_key, 0xD0E),
+                    episodes_done=base_done + increment)
+    return ts, stats
+
+  def reset(ts: learner_lib.TrainState, fields):
+    specs = shard_specs(ts)
+    stats_spec = {'completed': P(ENV_AXIS), 'returns': P(ENV_AXIS),
+                  'lengths': P(ENV_AXIS)}
+    fn = jax.shard_map(local_reset, mesh=mesh,
+                       in_specs=(specs, P(ENV_AXIS)),
+                       out_specs=(specs, stats_spec), check_vma=False)
+    return fn(ts, fields)
+
+  return jax.jit(reset)
 
 
 def init_distributed_train_state(key: jax.Array, mesh: Mesh,

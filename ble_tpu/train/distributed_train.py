@@ -64,10 +64,19 @@ def main():
       jax.random.PRNGKey(args.seed), mesh, config, env_params, field_fn)
   step = distributed.build_distributed_step(mesh, config, env_params,
                                             num_steps=args.chunk_steps)
+  reset_fn = distributed.build_distributed_reset(mesh, config, env_params)
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  decode_fields = jax.jit(
+      jax.vmap(field_fn),
+      out_shardings=NamedSharding(mesh, P(distributed.ENV_AXIS)))
+  field_key = jax.random.PRNGKey(args.seed ^ 0x0F1E2D3C)
 
   steps_done = 0
   t_start = time.perf_counter()
   while steps_done < args.num_env_steps:
+    field_key, sub = jax.random.split(field_key)
+    ts, _ = reset_fn(ts, decode_fields(jax.random.split(sub,
+                                                        config.num_envs)))
     ts, metrics = step(ts)
     steps_done += args.chunk_steps
     reward = float(np.asarray(metrics['reward']).mean())

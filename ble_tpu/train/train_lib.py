@@ -2,15 +2,22 @@
 
 Counterpart of the reference ``train_lib.py:40-131`` (episode loop with
 per-iteration checkpointing and resume-from-latest), adapted to the
-vectorized actor-learner: an "episode" is a lockstep batch of
-`config.num_envs` episodes, scanned on device in chunks, with host-side
-collector dispatch between chunks. Checkpoints are orbax pytree saves of
-the full `TrainState` (params, optimizer, replay, counters), replacing the
-reference's pickle bundles (agents/dopamine_utils.py:50-122).
+vectorized actor-learner: envs run CONTINUOUSLY with per-env episode
+boundaries -- terminal/960-step envs are selectively re-initialized at
+chunk boundaries from batch-decoded wind fields (learner.selective_reset)
+-- and one "iteration" is `episodes_per_iteration * episode_length`
+lockstep steps. Collectors receive real per-step statistics streamed off
+the device scan (action histograms, terminal counts, rewards), and the
+final iteration's env-0 flight track is rendered like the reference's
+end-of-training render (train.py:95-109). Checkpoints are orbax pytree
+saves of the full `TrainState` (params, optimizer, replay, counters),
+replacing the reference's pickle bundles (agents/dopamine_utils.py:50-122).
 """
 
 import functools
+import logging
 import os
+import time
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -67,12 +74,26 @@ def run_training_loop(base_dir: Optional[str],
                       chunk_steps: int = 96,
                       collectors: Sequence[str] = ('console',),
                       seed: int = 0,
-                      checkpoint: bool = True) -> learner_lib.TrainState:
+                      checkpoint: bool = True,
+                      eval_fn: Optional[Callable] = None,
+                      eval_every: int = 0,
+                      render_final: bool = False,
+                      max_seconds: Optional[float] = None
+                      ) -> learner_lib.TrainState:
   """Runs the vectorized training loop (reference train_lib.py:81-131).
 
-  One reference "episode" maps to `config.num_envs` parallel episodes.
+  One reference "episode" maps to `config.num_envs` parallel episodes with
+  independent boundaries.
+
+  Args:
+    eval_fn: optional callback `(train_state, iteration) -> None` invoked
+      every `eval_every` iterations (and after the last one).
+    max_seconds: optional wall-clock budget; the loop checkpoints and
+      stops cleanly once exceeded.
   """
   episode_length = episode_length or config.episode_length
+  config = config.replace(episode_length=episode_length)
+  steps_per_iteration = episodes_per_iteration * episode_length
   dispatcher = collectors_lib.CollectorDispatcher(
       base_dir, env_lib.NUM_ACTIONS, collectors)
   dispatcher.pre_training()
@@ -84,39 +105,92 @@ def run_training_loop(base_dir: Optional[str],
     ts, latest = restore_latest_checkpoint(base_dir, ts)
     start_iteration = latest + 1
 
-  chunk = jax.jit(functools.partial(learner_lib.run_episode_chunk, config,
-                                    env_params, num_steps=chunk_steps))
-  reset_ep = jax.jit(functools.partial(learner_lib.reset_episode,
-                                       env_params=env_params,
-                                       field_fn=field_fn, config=config))
+  chunk_fns = {}  # num_steps -> jitted chunk (fixes round-1 recompiles).
+  def get_chunk(n):
+    if n not in chunk_fns:
+      chunk_fns[n] = jax.jit(functools.partial(
+          learner_lib.run_episode_chunk, config, env_params, num_steps=n))
+    return chunk_fns[n]
 
+  decode_fields = jax.jit(jax.vmap(field_fn))
+  reset_fn = jax.jit(functools.partial(
+      learner_lib.selective_reset, env_params=env_params, config=config))
+  field_key = jax.random.PRNGKey(seed ^ 0x0F1E2D3C)
+
+  renderer = None
+  if render_final:
+    from ble_tpu.env.rendering import renderer as renderer_lib
+    renderer = renderer_lib.MatplotlibRenderer(
+        env_params.station_keeping_radius_km)
+
+  t_start = time.time()
+  stop = False
   for iteration in range(start_iteration, num_iterations):
-    for _ in range(episodes_per_iteration):
-      ts = reset_ep(ts)
-      dispatcher.begin_episode()
-      steps_done = 0
-      last_stats = None
-      while steps_done < episode_length:
-        n = min(chunk_steps, episode_length - steps_done)
-        if n != chunk_steps:
-          partial_chunk = jax.jit(functools.partial(
-              learner_lib.run_episode_chunk, config, env_params,
-              num_steps=n))
-          ts, metrics = partial_chunk(ts)
-        else:
-          ts, metrics = chunk(ts)
-        metrics = jax.tree.map(np.asarray, metrics)
-        for i in range(n - 1):
-          last_stats = collectors_lib.StatisticsInstance(
-              step=steps_done + i, action=np.zeros(()),
-              reward=metrics['reward'][i],
-              terminal=np.zeros((), bool))
-          dispatcher.step(last_stats)
-        steps_done += n
-      dispatcher.end_episode(collectors_lib.StatisticsInstance(
-          step=steps_done, action=np.zeros(()),
-          reward=metrics['reward'][-1], terminal=np.ones((), bool)))
+    iter_t0 = time.time()
+    dispatcher.begin_episode()
+    if renderer is not None and iteration == num_iterations - 1:
+      renderer.reset()
+    steps_done = 0
+    completed_returns = []
+    while steps_done < steps_per_iteration:
+      # Selective per-env reset at the chunk boundary; inactive envs get
+      # fresh episodes from batch-decoded fields.
+      field_key, sub = jax.random.split(field_key)
+      fields = decode_fields(jax.random.split(sub, config.num_envs))
+      ts, reset_stats = reset_fn(ts, fields=fields)
+      completed = np.asarray(reset_stats['completed'])
+      if completed.any():
+        completed_returns.extend(
+            np.asarray(reset_stats['returns'])[completed].tolist())
+
+      n = min(chunk_steps, steps_per_iteration - steps_done)
+      ts, metrics = get_chunk(n)(ts)
+      metrics = jax.tree.map(np.asarray, metrics)
+      for i in range(n):
+        dispatcher.step(collectors_lib.StatisticsInstance(
+            step=steps_done + i,
+            action=np.zeros(()),
+            action_histogram=metrics['action_hist'][i],
+            reward=metrics['reward'][i],
+            terminal=metrics['terminals'][i]))
+        if renderer is not None and iteration == num_iterations - 1:
+          x, y, p, soc = metrics['path'][i]
+          renderer.add_point(float(x), float(y), float(p), float(soc))
+      steps_done += n
+    dispatcher.end_episode(collectors_lib.StatisticsInstance(
+        step=steps_done, action=np.zeros(()),
+        action_histogram=np.zeros((env_lib.NUM_ACTIONS,), np.int64),
+        reward=np.zeros(()), terminal=np.zeros((), np.int64)))
+
+    dt = time.time() - iter_t0
+    mean_return = (float(np.mean(completed_returns))
+                   if completed_returns else float('nan'))
+    logging.info(
+        'iteration %d: %.0f env-steps/s, %d episodes done (mean return '
+        '%.2f), loss %.4g', iteration,
+        steps_per_iteration * config.num_envs / max(dt, 1e-9),
+        len(completed_returns), mean_return, float(metrics['loss'][-1]))
+
     if checkpoint and base_dir is not None:
       save_checkpoint(base_dir, ts, iteration)
+    if eval_fn is not None and eval_every > 0 and (
+        iteration % eval_every == 0 or iteration == num_iterations - 1):
+      eval_fn(ts, iteration)
+    if max_seconds is not None and time.time() - t_start > max_seconds:
+      logging.info('max_seconds (%.0f) reached at iteration %d; stopping.',
+                   max_seconds, iteration)
+      stop = True
+    if stop:
+      break
+
+  if renderer is not None and base_dir is not None:
+    image = renderer.render('rgb_array')
+    try:
+      import matplotlib.pyplot as plt
+      path = os.path.join(base_dir, 'final_flight_path.png')
+      plt.imsave(path, image)
+      logging.info('saved final flight path render to %s', path)
+    except Exception as e:  # matplotlib backend quirks must not kill a run.
+      logging.warning('could not save final render: %s', e)
   dispatcher.end_training()
   return ts

@@ -59,6 +59,9 @@ def main():
   p.add_argument('--seed', type=int, default=0)
   p.add_argument('--max_hours', type=float, default=0.0,
                  help='Stop after this many wall-clock hours (0 = no cap).')
+  p.add_argument('--agent', type=str, default='quantile')
+  p.add_argument('--set', action='append', default=[],
+                 help='TrainConfig override, e.g. replay.batch_size=512')
   args = p.parse_args()
 
   os.makedirs(args.out, exist_ok=True)
@@ -72,12 +75,16 @@ def main():
   else:
     field_fn = env_lib.make_field_fn('static')
 
+  from ble_tpu import config as config_lib
   config = learner_lib.TrainConfig(
+      agent=args.agent,
       num_envs=args.num_envs,
       episode_length=args.episode_length,
       samples_per_insert=args.samples_per_insert,
       qrdqn=qrdqn_lib.QrDqnConfig(learning_rate=args.learning_rate),
       replay=replay_lib.ReplayConfig(prioritized=args.prioritized))
+  config = config_lib.apply_overrides(config, args.set)
+  core = learner_lib.make_agent_core(config)
 
   eval_seeds = jnp.arange(args.eval_seeds, dtype=jnp.int32)
 
@@ -104,19 +111,23 @@ def main():
   ts, latest = train_lib.restore_latest_checkpoint(args.out, ts)
   start_iteration = latest + 1
 
-  chunk = jax.jit(functools.partial(learner_lib.run_episode_chunk, config,
-                                    env_params, num_steps=args.chunk_steps))
-  reset_ep = jax.jit(functools.partial(learner_lib.reset_episode,
-                                       env_params=env_params,
-                                       field_fn=field_fn, config=config))
+  chunk_fns = {}
+  def get_chunk(n):
+    if n not in chunk_fns:
+      chunk_fns[n] = jax.jit(functools.partial(
+          learner_lib.run_episode_chunk, config, env_params, num_steps=n))
+    return chunk_fns[n]
+
+  decode_fields = jax.jit(jax.vmap(field_fn))
+  reset_fn = jax.jit(functools.partial(
+      learner_lib.selective_reset, env_params=env_params, config=config))
+  field_key = jax.random.PRNGKey(args.seed ^ 0x0F1E2D3C)
 
   greedy_fn = eval_lib.build_parametric_eval_fn(
       env_params, field_fn,
       policy_init=lambda params, key: (),
       policy_step=lambda params, state, obs, key: (
-          state,
-          qrdqn_lib.select_action(config.qrdqn, params, obs, None,
-                                  epsilon=0.0)),
+          state, core.select_action(params, obs, None, 0.0)),
       max_steps=args.eval_max_steps)
 
   def greedy_eval(params):
@@ -125,18 +136,22 @@ def main():
   run_start = time.perf_counter()
   for iteration in range(start_iteration, args.iterations):
     it_start = time.perf_counter()
-    ts = reset_ep(ts)
     rewards = []
     losses = []
+    completed_returns = []
     steps_done = 0
     while steps_done < args.episode_length:
+      # Per-env auto-reset: terminal/truncated envs restart from fresh
+      # batch-decoded fields at every chunk boundary.
+      field_key, sub = jax.random.split(field_key)
+      fields = decode_fields(jax.random.split(sub, args.num_envs))
+      ts, reset_stats = reset_fn(ts, fields=fields)
+      done_mask = np.asarray(reset_stats['completed'])
+      if done_mask.any():
+        completed_returns.extend(
+            np.asarray(reset_stats['returns'])[done_mask].tolist())
       n = min(args.chunk_steps, args.episode_length - steps_done)
-      if n != args.chunk_steps:
-        ts, metrics = jax.jit(functools.partial(
-            learner_lib.run_episode_chunk, config, env_params,
-            num_steps=n))(ts)
-      else:
-        ts, metrics = chunk(ts)
+      ts, metrics = get_chunk(n)(ts)
       rewards.append(np.asarray(metrics['reward']))
       losses.append(np.asarray(metrics['loss']))
       steps_done += n
@@ -146,14 +161,18 @@ def main():
     record = {
         'iteration': iteration,
         'env_steps': int(ts.env_steps) * args.num_envs,
-        'grad_steps': int(np.asarray(ts.learner.train_steps)),
+        'grad_steps': int(np.asarray(
+            getattr(ts.learner, 'train_steps', 0))),
+        'episodes_done': int(ts.episodes_done),
         'train_mean_reward': train_reward,
         'train_mean_loss': train_loss,
+        'mean_episode_return': (float(np.mean(completed_returns))
+                                if completed_returns else None),
         'iter_wall_s': round(time.perf_counter() - it_start, 1),
         'total_wall_s': round(time.perf_counter() - run_start, 1),
     }
     if iteration % args.eval_every == 0 or iteration == args.iterations - 1:
-      ev = greedy_eval(ts.learner.params)
+      ev = greedy_eval(core.params_of(ts.learner))
       record['eval_mean_twr'] = float(ev['time_within_radius'].mean())
       record['eval_mean_reward'] = float(ev['cumulative_reward'].mean())
     if iteration % args.ckpt_every == 0 or iteration == args.iterations - 1:
