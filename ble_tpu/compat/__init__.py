@@ -1,0 +1,142 @@
+"""Compatibility harness for running the UPSTREAM reference environment.
+
+The reference (google/balloon-learning-environment) depends on a handful of
+pure-Python packages that are not installed in this image (opensimplex,
+s2sphere, transitions, gin-config, gym, tensorflow_probability). This
+package provides minimal, from-scratch shims for exactly the API surface
+the reference's environment path uses, so the ACTUAL reference code
+(balloon_arena, balloon physics, features, StationSeeker) can execute here
+and be compared numerically against ble_tpu — the round-2 parity harness
+(tests/test_reference_parity.py, tools/parity_report.py).
+
+The shims are NOT re-implementations of the reference; they implement
+third-party library APIs:
+
+- s2sphere.LatLng           spherical lat/lng value type
+- transitions.Machine       tiny finite-state machine
+- gin                       no-op configurable (defaults apply)
+- gym                       re-export of gymnasium's spaces/Env
+- tensorflow_probability    the two sampling distributions used by
+                            utils/sampling.py, built on jax.random
+- opensimplex.OpenSimplex   4-D noise wrapping ble_tpu's own simplex
+                            noise (variance-matched to opensimplex 0.3's
+                            published calibration constant, so the
+                            reference's NOISE_MAGNITUDE stays valid)
+
+Usage:
+    from ble_tpu import compat
+    compat.enable_reference_imports()
+    from balloon_learning_environment.env import balloon_arena
+"""
+
+import os
+import sys
+
+_SHIM_DIR = os.path.join(os.path.dirname(__file__), 'shims')
+DEFAULT_REFERENCE_ROOT = '/root/reference'
+
+
+def reference_available(root: str = DEFAULT_REFERENCE_ROOT) -> bool:
+  return os.path.isdir(
+      os.path.join(root, 'balloon_learning_environment', 'env'))
+
+
+def enable_reference_imports(root: str = DEFAULT_REFERENCE_ROOT) -> None:
+  """Makes `balloon_learning_environment` importable with shimmed deps.
+
+  The shim dir is appended AFTER site-packages so any real installation of
+  these libraries wins; the reference root is appended last.
+  """
+  if not reference_available(root):
+    raise ImportError(f'reference checkout not found under {root}')
+  _patch_scipy_interp2d()
+  _patch_dataclass_default_check()
+  for p in (_SHIM_DIR, root):
+    if p not in sys.path:
+      sys.path.append(p)
+  _patch_reference_units()
+
+
+def _patch_dataclass_default_check() -> None:
+  """Relaxes Python 3.12's dataclass mutable-default rejection.
+
+  The reference (written for Python 3.7-3.9) uses instances of its own
+  __eq__-without-__hash__ value classes as dataclass defaults (e.g.
+  vae.FieldShape, units.Power); 3.12 rejects any unhashable default. Give
+  such classes identity hashing on first sight — equality semantics are
+  unchanged, and real containers (list/dict/set) stay rejected.
+  """
+  import dataclasses
+
+  orig = dataclasses._get_field
+
+  def patched(cls, a_name, a_type, default_kw_only):
+    default = getattr(cls, a_name, None)
+    if (default is not None and
+        not isinstance(default, (list, dict, set, bytearray)) and
+        type(default).__hash__ is None and
+        dataclasses.is_dataclass(type(default))):
+      type(default).__hash__ = object.__hash__
+    return orig(cls, a_name, a_type, default_kw_only)
+
+  dataclasses._get_field = patched
+
+
+def _patch_reference_units() -> None:
+  """Makes the reference's unit value types hashable.
+
+  They define __eq__ without __hash__ (reference utils/units.py), which
+  Python 3.12 dataclasses reject as defaults ("mutable default"); on the
+  Python the reference targeted (3.7-3.9) this was allowed. Identity
+  hashing restores the old behavior without changing equality.
+  """
+  from balloon_learning_environment.utils import units as ref_units
+
+  for name in dir(ref_units):
+    cls = getattr(ref_units, name)
+    if isinstance(cls, type) and cls.__hash__ is None and \
+        cls.__module__ == ref_units.__name__:
+      cls.__hash__ = object.__hash__
+
+
+def _patch_scipy_interp2d() -> None:
+  """Restores `scipy.interpolate.interp2d` (removed in SciPy 1.14).
+
+  The reference's ACS efficiency table (reference env/balloon/acs.py:31-41)
+  builds a kind='linear' interp2d over a regular 13x4 grid with
+  fill_value=None, i.e. linear extrapolation from the boundary cells
+  (FITPACK bisplev with kx=ky=1). RegularGridInterpolator with
+  fill_value=None reproduces exactly that on a regular grid.
+  """
+  import numpy as np
+  from scipy import interpolate
+
+  try:
+    interpolate.interp2d(np.arange(2.), np.arange(2.), np.zeros(4))
+    return  # Real implementation still works.
+  except NotImplementedError:
+    pass
+
+  class _Interp2dLinear:
+
+    def __init__(self, x, y, z, kind='linear', copy=True,
+                 bounds_error=False, fill_value=None):
+      if kind != 'linear':
+        raise NotImplementedError('interp2d shim supports kind="linear"')
+      del copy, bounds_error, fill_value
+      self._x = np.asarray(x, float)
+      self._y = np.asarray(y, float)
+      z = np.asarray(z, float).reshape(len(self._y), len(self._x))
+      self._rgi = interpolate.RegularGridInterpolator(
+          (self._y, self._x), z, method='linear', bounds_error=False,
+          fill_value=None)
+
+    def __call__(self, x, y):
+      x = np.atleast_1d(np.asarray(x, float))
+      y = np.atleast_1d(np.asarray(y, float))
+      xx, yy = np.meshgrid(x, y)
+      out = self._rgi(np.stack([yy.ravel(), xx.ravel()], axis=-1))
+      return out.reshape(len(y), len(x)) if (len(x) > 1 or len(y) > 1) \
+          else out
+
+  interpolate.interp2d = _Interp2dLinear

@@ -1,0 +1,463 @@
+"""Direct numerical parity vs the ACTUAL reference implementation.
+
+These tests import the upstream reference from /root/reference through
+ble_tpu.compat's third-party shims (ble_tpu/compat/__init__.py) and run
+BOTH implementations on pinned inputs:
+
+  * atmosphere, solar, ACS tables, stable-init: component functions,
+    same keys/arguments, float tolerances.
+  * physics: a 60-agent-step trajectory through the reference
+    Balloon.simulate_step (balloon.py:263-340) vs ble_tpu's scanned
+    simulate_step, compared field-by-field.
+  * features: the 1099-d Perciatelli feature vector at a pinned simulator
+    state with a shared forecast grid and identical GP observations.
+  * wind forecast interpolation: reference GridBasedWindField
+    (grid_based_wind_field.py:70-135) vs ble_tpu's MXU contraction on the
+    same grid.
+  * StationSeeker: identical feature vectors -> identical actions.
+  * sampling: reference utils/sampling.py distributions vs ble_tpu's
+    vectorized samplers, same keys.
+
+The noise comparison is STATISTICAL (the opensimplex shim substitutes
+ble_tpu's simplex noise, variance-matched; see
+ble_tpu/compat/shims/opensimplex.py).
+
+Skipped wholesale when /root/reference is absent.
+"""
+
+import datetime as dtm
+
+import numpy as np
+import pytest
+
+from ble_tpu import compat
+
+if not compat.reference_available():
+  pytest.skip('reference checkout unavailable', allow_module_level=True)
+
+compat.enable_reference_imports()
+
+# pylint: disable=g-import-not-at-top
+import jax
+import jax.numpy as jnp
+import s2sphere as s2
+
+from balloon_learning_environment.env import features as ref_features
+from balloon_learning_environment.env import grid_based_wind_field as ref_gbwf
+from balloon_learning_environment.env import simulator_data as ref_sim_data
+from balloon_learning_environment.env import wind_field as ref_wf
+from balloon_learning_environment.env.balloon import balloon as ref_balloon
+from balloon_learning_environment.env.balloon import control as ref_control
+from balloon_learning_environment.env.balloon import (
+    stable_init as ref_stable)
+from balloon_learning_environment.env.balloon import (
+    standard_atmosphere as ref_atmo)
+from balloon_learning_environment.env.balloon import acs as ref_acs
+from balloon_learning_environment.env.balloon import solar as ref_solar
+from balloon_learning_environment.agents import (
+    station_seeker_agent as ref_ss)
+from balloon_learning_environment.generative import vae as ref_vae
+from balloon_learning_environment.utils import sampling as ref_sampling
+from balloon_learning_environment.utils import units as ref_units
+
+from ble_tpu.agents import station_seeker as my_ss
+from ble_tpu.compat import mapping
+from ble_tpu.env import acs as my_acs
+from ble_tpu.env import atmosphere as my_atmo
+from ble_tpu.env import balloon as my_balloon
+from ble_tpu.env import features as my_features
+from ble_tpu.env import solar as my_solar
+from ble_tpu.env import stable_init as my_stable
+from ble_tpu.env import wind_field as my_wf
+from ble_tpu.env import wind_gp as my_gp
+from ble_tpu.utils import sampling as my_sampling
+
+_UTC = dtm.timezone.utc
+
+
+def _pinned_ref_state(key, x_km=13.2, y_km=-6.8, pressure=9500.0,
+                      ir=270.0, lat=5.3, lng=-75.0):
+  atmo = ref_atmo.Atmosphere(key)
+  bs = ref_balloon.BalloonState(
+      center_latlng=s2.LatLng.from_degrees(lat, lng),
+      date_time=dtm.datetime(2021, 6, 1, 12, 0, 0, tzinfo=_UTC),
+      x=ref_units.Distance(km=x_km), y=ref_units.Distance(km=y_km),
+      pressure=pressure, upwelling_infrared=ir)
+  ref_stable.cold_start_to_stable_params(bs, atmo)
+  return bs, atmo
+
+
+class TestAtmosphere:
+
+  @pytest.mark.parametrize('seed', [0, 7, 123])
+  def test_at_pressure_and_height(self, seed):
+    key = jax.random.PRNGKey(seed)
+    ref = ref_atmo.Atmosphere(key)
+    mine = my_atmo.reset(key)
+    for p in np.linspace(5000.0, 14000.0, 13):
+      rv = ref.at_pressure(float(p))
+      h, t, d = my_atmo.at_pressure(mine, jnp.float32(p))
+      assert abs(rv.temperature - float(t)) < 1e-3
+      assert abs(rv.height.meters - float(h)) < 0.05
+      assert abs(rv.density - float(d)) < 1e-5
+    for hq in np.linspace(10000.0, 22000.0, 7):
+      rv = ref.at_height(ref_units.Distance(m=float(hq)))
+      pq, tq, dq = my_atmo.at_height(mine, jnp.float32(hq))
+      assert abs(rv.pressure - float(pq)) < 0.2
+      assert abs(rv.temperature - float(tq)) < 1e-2
+
+
+class TestSolar:
+
+  @pytest.mark.parametrize('lat,lng,hour', [(5.3, -75.0, 0), (5.3, -75.0, 12),
+                                            (-40.0, 150.0, 6),
+                                            (60.0, 10.0, 18)])
+  def test_solar_calculator(self, lat, lng, hour):
+    t = dtm.datetime(2021, 3, 17, hour, 21, 0, tzinfo=_UTC)
+    latlng = s2.LatLng.from_degrees(lat, lng)
+    el, az, flux = ref_solar.solar_calculator(latlng, t)
+    mel, maz, mflux = jax.tree.map(float, my_solar.solar_calculator(
+        jnp.float32(np.radians(lat)), jnp.float32(np.radians(lng)),
+        jnp.int32(mapping.dt_to_unix_s(t))))
+    assert abs(el - mel) < 0.02, (el, mel)
+    assert abs(az - maz) % 360.0 < 0.05
+    assert abs(flux - mflux) < 0.5
+
+  def test_sunrise_sunset(self):
+    t = dtm.datetime(2021, 6, 1, 12, 0, 0, tzinfo=_UTC)
+    latlng = s2.LatLng.from_degrees(5.3, -75.0)
+    sunrise, sunset = ref_solar.get_next_sunrise_sunset(latlng, t)
+    ms_rise, ms_set = my_solar.next_sunrise_sunset(
+        jnp.float32(np.radians(5.3)), jnp.float32(np.radians(-75.0)),
+        jnp.int32(mapping.dt_to_unix_s(t)))
+    # The reference bisects to 1-minute precision; ours scans at 3-minute
+    # resolution with interpolation. Allow 4 minutes.
+    assert abs(mapping.dt_to_unix_s(sunrise) - int(ms_rise)) <= 240
+    assert abs(mapping.dt_to_unix_s(sunset) - int(ms_set)) <= 240
+
+  def test_solar_power(self):
+    for el in [-1.0, 3.0, 15.0, 48.0, 89.0]:
+      for p in [6000.0, 9000.0, 12000.0]:
+        ref_p = ref_solar.solar_power(el, p).watts
+        my_p = float(my_solar.solar_power(jnp.float32(el), jnp.float32(p)))
+        assert abs(ref_p - my_p) < 0.05, (el, p, ref_p, my_p)
+
+
+class TestAcsTables:
+
+  def test_most_efficient_power(self):
+    for pr in np.linspace(0.98, 1.40, 22):
+      ref_v = ref_acs.get_most_efficient_power(float(pr)).watts
+      my_v = float(my_acs.get_most_efficient_power(jnp.float32(pr)))
+      assert abs(ref_v - my_v) < 0.5, (pr, ref_v, my_v)
+
+  def test_fan_efficiency(self):
+    for pr in np.linspace(1.0, 1.4, 9):
+      for w in np.linspace(100.0, 400.0, 7):
+        ref_v = ref_acs.get_fan_efficiency(float(pr),
+                                           ref_units.Power(watts=float(w)))
+        my_v = float(my_acs.get_fan_efficiency(jnp.float32(pr),
+                                               jnp.float32(w)))
+        assert abs(float(ref_v) - my_v) < 1e-3, (pr, w, ref_v, my_v)
+
+
+class TestStableInit:
+
+  @pytest.mark.parametrize('pressure', [7000.0, 9500.0, 12000.0])
+  def test_cold_start(self, pressure):
+    key = jax.random.PRNGKey(3)
+    ref_bs, ref_a = _pinned_ref_state(key, pressure=pressure)
+    # Build ble_tpu's state from the same pinned inputs, run MY stable
+    # init, and compare against the reference's post-init fields.
+    params, state = mapping.ref_balloon_state_to_mine(ref_bs)
+    cold = state.replace(
+        ambient_temperature_k=jnp.float32(206.0),
+        internal_temperature_k=jnp.float32(206.0),
+        mols_air=jnp.float32(0.0),
+        envelope_volume_m3=jnp.float32(1804.0),
+        superpressure_pa=jnp.float32(0.0))
+    mine_a = my_atmo.reset(key)
+    stable = my_stable.cold_start_to_stable_params(params, cold, mine_a)
+    assert abs(ref_bs.mols_air - float(stable.mols_air)) < 0.5
+    assert abs(ref_bs.internal_temperature -
+               float(stable.internal_temperature_k)) < 0.05
+    assert abs(ref_bs.superpressure - float(stable.superpressure_pa)) < 5.0
+    assert abs(ref_bs.envelope_volume -
+               float(stable.envelope_volume_m3)) < 0.5
+
+
+class TestPhysicsTrajectory:
+  """60 agent steps (1080 physics substeps) against the reference."""
+
+  def test_trajectory(self):
+    key = jax.random.PRNGKey(0)
+    ref_bs, ref_a = _pinned_ref_state(key)
+    params, state = mapping.ref_balloon_state_to_mine(ref_bs)
+    mine_a = my_atmo.reset(key)
+
+    b = ref_balloon.Balloon(ref_bs)
+    wv = ref_wf.WindVector(ref_units.Velocity(mps=4.2),
+                           ref_units.Velocity(mps=-1.7))
+    step = jax.jit(lambda s, a: my_balloon.simulate_step(
+        params, mine_a, s, jnp.float32(4.2), jnp.float32(-1.7), a))
+
+    actions = ([2] * 12 + [0] * 12 + [1] * 6 + [2, 0, 1, 2, 2, 0] * 5)
+    for a in actions:
+      b.simulate_step(wv, ref_a, ref_control.AltitudeControlCommand(a),
+                      dtm.timedelta(minutes=3))
+      state = step(state, jnp.int32(a))
+
+    d = mapping.compare_fields(b.state, state)
+    assert d['pressure_pa'] < 1.0, d
+    assert d['x_m'] < 5.0, d
+    assert d['y_m'] < 5.0, d
+    assert d['superpressure_pa'] < 2.0, d
+    assert d['mols_air'] < 0.2, d
+    assert d['battery_charge_j'] < 2000.0, d  # of ~1e7 J capacity
+    assert d['status'] == 0, d
+
+  def test_power_safety_night_pause(self):
+    """At night with a nearly drained battery both sides pause DOWN."""
+    key = jax.random.PRNGKey(1)
+    ref_bs, ref_a = _pinned_ref_state(key)
+    ref_bs.date_time = dtm.datetime(2021, 6, 1, 4, 0, 0, tzinfo=_UTC)
+    ref_bs.battery_charge = 0.04 * ref_bs.battery_capacity
+    # Rebuild layers for the new time.
+    ref_bs.power_safety_layer = type(ref_bs.power_safety_layer)(
+        ref_bs.center_latlng, ref_bs.date_time)
+    params, state = mapping.ref_balloon_state_to_mine(ref_bs)
+    mine_a = my_atmo.reset(key)
+
+    b = ref_balloon.Balloon(ref_bs)
+    wv = ref_wf.WindVector(ref_units.Velocity(mps=1.0),
+                           ref_units.Velocity(mps=0.0))
+    step = jax.jit(lambda s, a: my_balloon.simulate_step(
+        params, mine_a, s, jnp.float32(1.0), jnp.float32(0.0), a))
+    for _ in range(10):
+      b.simulate_step(wv, ref_a, ref_control.AltitudeControlCommand.DOWN,
+                      dtm.timedelta(minutes=3))
+      state = step(state, jnp.int32(0))
+    d = mapping.compare_fields(b.state, state)
+    assert bool(b.state.power_safety_layer.navigation_is_paused) == \
+        bool(state.power_safety.navigation_is_paused)
+    assert d['pressure_pa'] < 1.0, d
+    assert d['battery_charge_j'] < 2000.0, d
+
+
+class _ConstSampler(ref_gbwf.grid_wind_field_sampler.GridWindFieldSampler):
+  """Injects a pinned grid into the reference's GridBasedWindField."""
+
+  def __init__(self, field: np.ndarray):
+    self._field = field
+    self._shape = ref_vae.FieldShape()
+
+  @property
+  def field_shape(self):
+    return self._shape
+
+  def sample_field(self, key, date_time):
+    del key, date_time
+    return self._field
+
+
+def _pinned_grid(seed=5):
+  rng = np.random.default_rng(seed)
+  return rng.normal(scale=6.0, size=my_wf.GRID_SHAPE).astype(np.float32)
+
+
+def _ref_grid_field(field):
+  wf = ref_gbwf.GridBasedWindField(_ConstSampler(field))
+  wf.reset_forecast(jax.random.PRNGKey(11),
+                    dtm.datetime(2021, 6, 1, tzinfo=_UTC))
+  return wf
+
+
+class TestForecastInterpolation:
+
+  def test_grid_forecast_matches(self):
+    field = _pinned_grid()
+    ref_field = _ref_grid_field(field)
+    mine = my_wf.make_state(jnp.asarray(field), jax.random.PRNGKey(12))
+
+    rng = np.random.default_rng(9)
+    pts = rng.uniform(size=(64, 4))
+    xs = (pts[:, 0] * 2 - 1) * 600e3  # beyond the 500 km clamp too
+    ys = (pts[:, 1] * 2 - 1) * 600e3
+    ps = 5000.0 + pts[:, 2] * 9000.0
+    ts = pts[:, 3] * 60 * 3600.0  # beyond the 48 h boomerang too
+
+    max_err = 0.0
+    for x, y, p, t in zip(xs, ys, ps, ts):
+      rv = ref_field.get_forecast(ref_units.Distance(m=x),
+                                  ref_units.Distance(m=y), float(p),
+                                  dtm.timedelta(seconds=float(t)))
+      mu, mv = my_wf.get_forecast(mine, jnp.float32(x), jnp.float32(y),
+                                  jnp.float32(p), jnp.float32(t))
+      max_err = max(max_err, abs(rv.u.meters_per_second - float(mu)),
+                    abs(rv.v.meters_per_second - float(mv)))
+    # ble_tpu stores the grid in bfloat16 (HBM bandwidth); tolerance is
+    # bf16 resolution on ~6 m/s winds.
+    assert max_err < 0.15, max_err
+
+
+class TestNoiseStatistics:
+  """The opensimplex shim must preserve the reference's calibration."""
+
+  def test_shim_variance_matches_opensimplex_constant(self):
+    import opensimplex
+    gen = opensimplex.OpenSimplex(seed=17)
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-50.0, 50.0, size=(4000, 4))
+    vals = gen.noise4d(pts[:, 0], pts[:, 1], pts[:, 2], pts[:, 3])
+    var = float(np.var(vals))
+    # simplex_wind_noise.py:69 OPENSIMPLEX_VARIANCE = 0.0569.
+    assert 0.045 < var < 0.07, var
+
+  def test_reference_noise_pipeline_variance(self):
+    """reference SimplexWindNoise on the shim has ~unit blended variance."""
+    noise = ref_wf.SimplexWindNoise()
+    noise.reset_wind_noise(jax.random.PRNGKey(3),
+                           dtm.datetime(2021, 6, 1, tzinfo=_UTC))
+    rng = np.random.default_rng(4)
+    samples = []
+    for _ in range(500):
+      x = ref_units.Distance(km=rng.uniform(-3000, 3000))
+      y = ref_units.Distance(km=rng.uniform(-3000, 3000))
+      p = rng.uniform(5000, 14000)
+      t = dtm.timedelta(hours=rng.uniform(0, 240))
+      wv = noise.get_wind_noise(x, y, p, t)
+      samples.append([wv.u.meters_per_second, wv.v.meters_per_second])
+    var = np.var(np.asarray(samples), axis=0)
+    # Target blended variance is 1.02 per component
+    # (simplex_wind_noise.py:77); wide tolerance for 500 samples of a
+    # correlated field.
+    assert 0.5 < var[0] < 2.0, var
+    assert 0.5 < var[1] < 2.0, var
+
+
+class TestFeatures:
+
+  def test_feature_vector_parity(self):
+    key = jax.random.PRNGKey(0)
+    ref_bs, ref_a = _pinned_ref_state(key)
+    params, state = mapping.ref_balloon_state_to_mine(ref_bs)
+    mine_a = my_atmo.reset(key)
+
+    field = _pinned_grid()
+    ref_field = _ref_grid_field(field)
+    mine_wf = my_wf.make_state(jnp.asarray(field), jax.random.PRNGKey(12))
+
+    ref_fc = ref_features.PerciatelliFeatureConstructor(ref_field, ref_a)
+    gp_state = my_gp.init()
+
+    # Both sides observe the same 6 wind measurements along a short path.
+    # (reference observations carry a full BalloonState,
+    # simulator_data.py:38-46).
+    import copy
+    rng = np.random.default_rng(8)
+    t0 = ref_bs.date_time
+
+    def make_obs(x, y, p, elapsed, wu, wv_):
+      bs = copy.deepcopy(ref_bs)
+      bs.x, bs.y, bs.pressure = x, y, p
+      bs.time_elapsed = elapsed
+      bs.date_time = t0 + elapsed
+      return ref_sim_data.SimulatorObservation(
+          balloon_observation=bs,
+          wind_at_balloon=ref_wf.WindVector(
+              ref_units.Velocity(mps=float(wu)),
+              ref_units.Velocity(mps=float(wv_))))
+
+    for i in range(6):
+      x = ref_bs.x + ref_units.Distance(km=rng.uniform(-2, 2))
+      y = ref_bs.y + ref_units.Distance(km=rng.uniform(-2, 2))
+      p = ref_bs.pressure + rng.uniform(-150, 150)
+      elapsed = dtm.timedelta(minutes=3 * i)
+      wu, wv_ = rng.uniform(-8, 8, size=2)
+      ref_fc.observe(make_obs(x, y, p, elapsed, wu, wv_))
+
+      # ble_tpu's GP stores FORECAST ERRORS; subtract the same forecast.
+      fu, fv = my_wf.get_forecast(mine_wf, jnp.float32(x.meters),
+                                  jnp.float32(y.meters), jnp.float32(p),
+                                  jnp.float32(elapsed.total_seconds()))
+      gp_state = my_gp.observe(
+          gp_state, jnp.float32(x.meters), jnp.float32(y.meters),
+          jnp.float32(p), jnp.float32(elapsed.total_seconds()),
+          jnp.float32(wu) - fu, jnp.float32(wv_) - fv)
+
+    # Pin the balloon state the features are computed at.
+    ref_fc.observe(make_obs(ref_bs.x, ref_bs.y, ref_bs.pressure,
+                            dtm.timedelta(minutes=18), 1.0, 2.0))
+    fu, fv = my_wf.get_forecast(mine_wf, jnp.float32(ref_bs.x.meters),
+                                jnp.float32(ref_bs.y.meters),
+                                jnp.float32(ref_bs.pressure),
+                                jnp.float32(18 * 60.0))
+    gp_state = my_gp.observe(
+        gp_state, jnp.float32(ref_bs.x.meters),
+        jnp.float32(ref_bs.y.meters), jnp.float32(ref_bs.pressure),
+        jnp.float32(18 * 60.0), jnp.float32(1.0) - fu,
+        jnp.float32(2.0) - fv)
+
+    ref_vec = ref_fc.get_features()
+
+    state = state.replace(time_elapsed_s=jnp.int32(18 * 60),
+                          time_s=jnp.int32(
+                              mapping.dt_to_unix_s(t0)) + 18 * 60)
+    # The reference feature constructor recomputes sunrise/sunset
+    # internally; use my solar (already parity-tested) for mine.
+    lat, lng = my_balloon.latlng(state)
+    sunrise, sunset = my_solar.next_sunrise_sunset(
+        lat, lng, state.time_s)
+    my_vec = np.asarray(my_features.get_features(
+        params, state, gp_state, mine_wf, mine_a, sunrise, sunset))
+
+    assert my_vec.shape == ref_vec.shape == (1099,)
+    diff = np.abs(my_vec - ref_vec)
+    # Ambient features (16): tight.
+    assert diff[:16].max() < 2e-2, np.argmax(diff[:16])
+    # Wind column (1083): GP + bf16 forecast tolerances.
+    assert diff[16:].max() < 0.12, (
+        diff[16:].max(), 16 + int(np.argmax(diff[16:])))
+    assert float(np.mean(diff[16:])) < 0.01
+
+
+class TestStationSeeker:
+
+  def test_same_action_on_same_features(self):
+    ref_agent = ref_ss.StationSeekerAgent(3, (1099,))
+    rng = np.random.default_rng(21)
+    # Plausible feature vectors: uncertainties in [0,1], bearings in
+    # [0,1], magnitudes in [0,1].
+    agree = 0
+    for i in range(32):
+      vec = rng.uniform(0.0, 1.0, size=(1099,)).astype(np.float32)
+      ref_action = ref_agent.pick_action(vec)
+      my_action = int(my_ss.pick_action(jnp.asarray(vec)))
+      agree += int(ref_action == my_action)
+    assert agree >= 30, agree  # ties at float precision may differ
+
+
+class TestSampling:
+
+  def test_location_time_pressure(self):
+    for seed in range(4):
+      key = jax.random.PRNGKey(seed)
+      ref_latlng = ref_sampling.sample_location(key)
+      lat, lng = my_sampling.sample_location(key)
+      assert abs(ref_latlng.lat().radians - float(lat)) < 1e-5
+      assert abs(ref_latlng.lng().radians - float(lng)) < 1e-5
+
+      ref_t = ref_sampling.sample_time(key)
+      my_t = int(my_sampling.sample_time(key))
+      assert abs(mapping.dt_to_unix_s(ref_t) - my_t) <= 1
+
+      ref_p = ref_sampling.sample_pressure(key)
+      my_p = float(my_sampling.sample_pressure(key))
+      assert abs(ref_p - my_p) < 1.0
+
+  def test_upwelling_infrared(self):
+    for seed in range(4):
+      key = jax.random.PRNGKey(seed)
+      ref_ir = ref_sampling.sample_upwelling_infrared(key)
+      my_ir = float(my_sampling.sample_upwelling_infrared(key))
+      assert abs(ref_ir - my_ir) < 1.0, (seed, ref_ir, my_ir)
