@@ -61,8 +61,12 @@ class BalloonEnv(gym.Env if _GYM else object):
   def seed(self, seed: int) -> None:
     self._rng = jax.random.PRNGKey(seed)
 
-  def reset(self, *, seed: Optional[int] = None, options=None,
-            return_info: bool = False):
+  def reset(self, *, seed: Optional[int] = None, options=None):
+    """Gymnasium API: returns (observation, info).
+
+    (The reference targets gym 0.21's `reset() -> obs`; gymnasium is the
+    maintained successor and its 2-tuple is what `gym.make` checks.)
+    """
     del options
     if seed is not None:
       self.seed(seed)
@@ -71,19 +75,22 @@ class BalloonEnv(gym.Env if _GYM else object):
     if self._renderer is not None:
       self._renderer.reset()
       self._renderer.step(self._state)
-    obs = np.asarray(obs)
-    if return_info:
-      return obs, {}
-    return obs
+    return np.asarray(obs), {}
 
   def step(self, action: int
-           ) -> Tuple[np.ndarray, float, bool, Mapping[str, Any]]:
+           ) -> Tuple[np.ndarray, float, bool, bool, Mapping[str, Any]]:
+    """Gymnasium API: (obs, reward, terminated, truncated, info).
+
+    `terminated` mirrors the reference's `is_done` (power/burst/zero-
+    pressure, balloon_env.py:157-190); episode truncation at 960 steps is
+    the eval harness's job on both sides, so `truncated` is always False.
+    """
     self._state, obs, reward, done, info = self._step_fn(self._state,
                                                          int(action))
     if self._renderer is not None:
       self._renderer.step(self._state)
     info = {k: np.asarray(v).item() for k, v in info.items()}
-    return np.asarray(obs), float(reward), bool(done), info
+    return np.asarray(obs), float(reward), bool(done), False, info
 
   def render(self, mode: str = 'human'):
     if self._renderer is None:
@@ -133,3 +140,11 @@ def register_env() -> None:
                  entry_point='ble_tpu.env.gym_env:BalloonEnv')
   except gym.error.Error:
     pass  # Already registered.
+
+
+# Eager registration on import: the reference registered at install time
+# via a `gym.envs` entry point (reference setup.py:87-90); gymnasium
+# dropped that plugin mechanism, so importing this module is the
+# registration point (documented in pyproject.toml).
+if _GYM:
+  register_env()

@@ -151,9 +151,16 @@ def observe(state: WindGPState, x_m, y_m, pressure_pa, elapsed_s,
   instead of one per modification (the matrix is the dominant HBM traffic
   at large env batches).
 
-  The harness may call `refresh` occasionally (e.g. after checkpoint
-  restore) to wash out float32 drift; in practice the incremental path
-  tracks sklearn to ~4e-3 m/s over a full 960-step episode (see tests).
+  Numerics (measured; tests/test_wind.py::test_wind_gp_960_step_churn_
+  drift): over a full 960-step episode with ~830 ring evictions the
+  incremental posterior MEAN sits ~1e-2 m/s from the exact inverse — a
+  float32 rounding floor set by cond(K) ~ 1e4 in the near-duplicate
+  regime, independent of refresh cadence — while deviations track to
+  <1e-4. The exact f32 inverse itself matches a float64 sklearn oracle
+  to ~4e-4 m/s. eval/learner call `refresh` every REFRESH_PERIOD steps
+  (between scan chunks) to pin the state to that baseline, which bounds
+  growth on arbitrarily long horizons; 1e-2 m/s is 0.3% of SIGMA_EXP and
+  <1e-3 in feature units after the 30 m/s magnitude squash.
   """
   t = jnp.asarray(elapsed_s, jnp.float32)
   loc = jnp.stack([jnp.asarray(x_m, jnp.float32),

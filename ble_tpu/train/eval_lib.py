@@ -157,8 +157,39 @@ def build_eval_fn(env_params: env_lib.EnvParams,
         'zeropressure': jnp.bool_(False),
     }
     step_keys = jax.random.split(jax.random.fold_in(key, 2), max_steps)
-    (env_state, _, _, _, acc), paths = jax.lax.scan(
-        body, (env_state, pstate, action, jnp.bool_(True), acc0), step_keys)
+
+    # Nested scan: an exact GP-inverse refresh (wind_gp.REFRESH_PERIOD)
+    # between inner chunks bounds f32 drift of the incremental bordered
+    # updates over the 960-step episode to <1e-3 m/s (measured 1.5e-2
+    # without; tests/test_wind.py::test_wind_gp_960_step_churn_drift).
+    # Doing it between chunks costs one 128^3 Cholesky per 64 steps
+    # (amortized ~33 kFLOP/step/env) instead of a per-step lax.cond whose
+    # vmapped select would run the Cholesky every step.
+    from ble_tpu.env import wind_gp as wind_gp_lib
+    period = wind_gp_lib.REFRESH_PERIOD
+    n_chunks = max_steps // period
+    remainder = max_steps - n_chunks * period
+
+    def chunk(carry, chunk_keys):
+      env_state = carry[0]
+      env_state = env_state.replace(gp=wind_gp_lib.refresh(env_state.gp))
+      return jax.lax.scan(body, (env_state,) + carry[1:], chunk_keys)
+
+    carry = (env_state, pstate, action, jnp.bool_(True), acc0)
+    if n_chunks:
+      carry, paths = jax.lax.scan(
+          chunk, carry,
+          step_keys[:n_chunks * period].reshape(n_chunks, period, -1))
+      paths = None if paths is None else paths.reshape(
+          n_chunks * period, *paths.shape[2:])
+    else:
+      paths = None
+    if remainder:
+      carry, tail_paths = jax.lax.scan(body, carry, step_keys[-remainder:])
+      if record_flight_path:
+        paths = (tail_paths if paths is None else
+                 jnp.concatenate([paths, tail_paths], axis=0))
+    env_state, _, _, _, acc = carry
 
     result = {
         'cumulative_reward': acc['reward'],

@@ -65,18 +65,18 @@ def test_step_timer():
 def test_gym_wrapper_static():
   from ble_tpu.env.gym_env import BalloonEnv, register_env
   env = BalloonEnv(wind_field='static', seed=3)
-  obs = env.reset(seed=3)
+  obs, _ = env.reset(seed=3)
   assert obs.shape == (1099,)
-  obs2, reward, done, info = env.step(1)
+  obs2, reward, terminated, truncated, info = env.step(1)
   assert obs2.shape == (1099,)
   assert 0.0 <= reward <= 1.0
-  assert isinstance(done, bool)
+  assert isinstance(terminated, bool) and truncated is False
   assert 'time_elapsed_s' in info
   assert env.action_space.n == 3
   assert env.observation_space.shape == (1099,)
   # Determinism through the wrapper.
   env.reset(seed=3)
-  obs3, r3, _, _ = env.step(1)
+  obs3, r3, *_ = env.step(1)
   assert r3 == reward
   register_env()
   import gymnasium as gym

