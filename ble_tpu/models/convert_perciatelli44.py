@@ -21,21 +21,26 @@ def convert(pb_path: str, out_path: str) -> None:
   with open(pb_path, 'rb') as f:
     serialized = f.read()
 
-  sess = tf.compat.v1.Session()
   graph_def = tf.compat.v1.GraphDef()
   graph_def.ParseFromString(serialized)
-  tf.compat.v1.import_graph_def(graph_def)
+  # Import into an explicit Graph: under TF2 eager semantics,
+  # import_graph_def after Session() lands in a different default graph
+  # and every tensor lookup KeyErrors.
+  graph = tf.compat.v1.Graph()
+  with graph.as_default():
+    tf.compat.v1.import_graph_def(graph_def, name='')
 
   # The frozen graph stores the online tower as
   # Online/fully_connected[_k]/{weights,biases} (quantile_agent.py:216-252).
   params = {}
-  for i in range(8):
-    suffix = '' if i == 0 else f'_{i}'
-    scope = f'import/Online/fully_connected{suffix}'
-    kernel = sess.run(sess.graph.get_tensor_by_name(f'{scope}/weights:0'))
-    bias = sess.run(sess.graph.get_tensor_by_name(f'{scope}/biases:0'))
-    params[f'Dense_{i}'] = {'kernel': np.asarray(kernel),
-                            'bias': np.asarray(bias)}
+  with tf.compat.v1.Session(graph=graph) as sess:
+    for i in range(8):
+      suffix = '' if i == 0 else f'_{i}'
+      scope = f'Online/fully_connected{suffix}'
+      kernel = sess.run(graph.get_tensor_by_name(f'{scope}/weights:0'))
+      bias = sess.run(graph.get_tensor_by_name(f'{scope}/biases:0'))
+      params[f'Dense_{i}'] = {'kernel': np.asarray(kernel),
+                              'bias': np.asarray(bias)}
 
   tree = {'params': params}
   with open(out_path, 'wb') as f:
