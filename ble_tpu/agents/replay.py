@@ -216,3 +216,70 @@ def can_sample(state: ReplayState, config: ReplayConfig,
                min_history: int) -> jnp.ndarray:
   return state.total > (min_history // max(state.obs.shape[0], 1) +
                         config.n_step)
+
+
+def sample_sequence(state: ReplayState, config: ReplayConfig,
+                    key: jax.Array, seq_len: int):
+  """Contiguous-window sample for recurrent (R2D2-style) learners.
+
+  The reference's recurrent variant replays fixed-length sequences
+  through an Acme/Reverb sequence adder (reference acme_utils.py:100-157,
+  280-285); here a window of `seq_len + 1` consecutive ring slots is
+  gathered per sampled (env, start) pair — the ring already stores
+  time-ordered per-env lanes, so a sequence is one strided gather, no
+  separate sequence buffer.
+
+  Returns a dict of (B, L+1, ...) leaves plus a per-step loss mask:
+    obs (B, L+1, D), action/reward/terminal (B, L+1),
+    step_weight (B, L): 1 where the 1-step transition t -> t+1 is
+      written, inside one episode, finite, and pre-terminal.
+  """
+  t_ring = config.ring_len
+  env_key, time_key = jax.random.split(key)
+  num_envs = state.obs.shape[0]
+  batch = config.batch_size
+
+  env_idx = jax.random.randint(env_key, (batch,), 0, num_envs)
+  oldest = jnp.maximum(0, state.total - t_ring)
+  hi = jnp.maximum(oldest + 1, state.total - seq_len)
+  g = oldest + (jax.random.randint(time_key, (batch,), 0,
+                                   jnp.iinfo(jnp.int32).max) %
+                jnp.maximum(hi - oldest, 1))
+  slots = (g[:, None] + jnp.arange(seq_len + 1)[None, :]) % t_ring
+
+  def gather(buf):
+    return buf[env_idx[:, None], slots]
+
+  obs = gather(state.obs).astype(jnp.float32)  # (B, L+1, D)
+  action = gather(state.action)
+  reward = gather(state.reward)
+  terminal = gather(state.terminal)
+  valid = gather(state.valid)
+  ep_steps = gather(state.episode_step)
+
+  # Step t's transition (t -> t+1) is trainable iff both slots were
+  # written, they belong to the same episode (episode_step increments),
+  # no terminal occurred strictly before t inside the window, and the
+  # values are finite (same quarantine as `sample`).
+  coherent = ep_steps == (ep_steps[:, :1] + jnp.arange(seq_len + 1)[None])
+  pair_ok = jnp.logical_and(valid[:, :-1], coherent[:, 1:])
+  no_term_before = jnp.cumprod(
+      jnp.concatenate([jnp.ones_like(terminal[:, :1], jnp.int32),
+                       1 - terminal[:, :-1].astype(jnp.int32)], axis=1),
+      axis=1)[:, :-1]  # (B, L): 1 through the first terminal step.
+  finite = jnp.all(jnp.isfinite(obs), axis=-1)
+  step_weight = (pair_ok.astype(jnp.float32) *
+                 no_term_before.astype(jnp.float32) *
+                 finite[:, :-1].astype(jnp.float32) *
+                 finite[:, 1:].astype(jnp.float32) *
+                 jnp.isfinite(reward[:, :-1]).astype(jnp.float32))
+
+  return {
+      'obs': obs,
+      'action': action,
+      'reward': reward,
+      'terminal': terminal,
+      'step_weight': step_weight,
+      'env_idx': env_idx,
+      'slot': slots[:, 0],
+  }

@@ -54,6 +54,7 @@ def shard_specs(ts: learner_lib.TrainState) -> learner_lib.TrainState:
       episode_return=P(ENV_AXIS),
       mp=batched(ts.mp),
       learner=replicated(ts.learner),
+      actor=batched(ts.actor),  # (E, ...) recurrent lanes; () otherwise.
       replay=replay_lib.ReplayState(
           obs=P(ENV_AXIS), action=P(ENV_AXIS), reward=P(ENV_AXIS),
           terminal=P(ENV_AXIS), valid=P(ENV_AXIS),

@@ -37,12 +37,13 @@ def make_policy_fns(agent_name: str, checkpoint_dir=None):
     policy = perciatelli44.make_policy(loader.load_perciatelli44())
     return (lambda key: (),
             lambda state, obs, key: (state, policy(obs)))
-  if agent_name in ('quantile', 'finetune_perciatelli', 'dqn'):
-    import orbax.checkpoint as ocp
-    from ble_tpu.agents import qrdqn
+  if agent_name in ('quantile', 'finetune_perciatelli', 'dqn', 'mlp',
+                    'r2d2'):
     from ble_tpu.train import learner as learner_lib
     from ble_tpu.train import train_lib
-    config = learner_lib.TrainConfig()
+    # The restore template must be built for the SAME agent the
+    # checkpoint was trained with (learner pytrees differ per agent).
+    config = learner_lib.TrainConfig(agent=agent_name)
     if checkpoint_dir is None:
       raise ValueError(f'{agent_name} needs --checkpoint_dir')
     ts = learner_lib.init_train_state(

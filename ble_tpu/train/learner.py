@@ -16,6 +16,9 @@ agent_registry.py:40-50), the trainable agent is selected by name:
                         weights (configs/finetune_perciatelli.gin)
   dqn                   MSE DQN, epsilon_train 0.01 (configs/dqn.gin)
   mlp                   online SARSA MLP, no replay (agents/mlp_agent.py)
+  r2d2                  recurrent quantile net, sequence replay + unroll
+                        learner, per-env LSTM actor state
+                        (agents/r2d2.py; reference acme_utils.py:100-157)
 
 Episodes auto-reset per env: terminal (or 960-step) envs freeze in-scan and
 are selectively re-initialized at chunk boundaries from a batch-decoded
@@ -39,10 +42,12 @@ from ble_tpu.agents import dqn as dqn_lib
 from ble_tpu.agents import marco_polo
 from ble_tpu.agents import mlp_agent
 from ble_tpu.agents import qrdqn as qrdqn_lib
+from ble_tpu.agents import r2d2 as r2d2_lib
 from ble_tpu.agents import replay as replay_lib
 from ble_tpu.env import env as env_lib
 
-TRAINABLE_AGENTS = ('quantile', 'finetune_perciatelli', 'dqn', 'mlp')
+TRAINABLE_AGENTS = ('quantile', 'finetune_perciatelli', 'dqn', 'mlp',
+                    'r2d2')
 
 
 @struct.dataclass
@@ -58,12 +63,19 @@ class TrainConfig:
   qrdqn: qrdqn_lib.QrDqnConfig = struct.field(
       default_factory=qrdqn_lib.QrDqnConfig)
   dqn: dqn_lib.DqnConfig = struct.field(default_factory=dqn_lib.DqnConfig)
+  r2d2: r2d2_lib.R2d2Config = struct.field(
+      default_factory=r2d2_lib.R2d2Config)
   replay: replay_lib.ReplayConfig = struct.field(
       default_factory=replay_lib.ReplayConfig)
 
   def grad_steps_per_env_step(self) -> int:
+    # One sequence sample trains batch_size * seq_len transitions, one
+    # n-step sample trains batch_size; hold samples-per-insert constant.
+    per_sample = self.replay.batch_size
+    if self.agent == 'r2d2':
+      per_sample *= max(self.r2d2.seq_len - self.r2d2.burn_in, 1)
     return max(1, round(self.num_envs * self.samples_per_insert /
-                        self.replay.batch_size))
+                        per_sample))
 
 
 class AgentCore(NamedTuple):
@@ -89,6 +101,18 @@ class AgentCore(NamedTuple):
   # pending transitions).
   on_reset: Optional[Callable] = None
   min_replay_history: int = 500
+  # Recurrent agents: per-env actor state threaded through the scan.
+  #   actor_init: (num_envs,) -> actor_state pytree with (E, ...) leaves
+  #   actor_select: (params, actor_state, obs, key, eps)
+  #                 -> (actor_state, actions)
+  #   actor_reset: (actor_state, reset_mask(E,)) -> actor_state
+  actor_init: Optional[Callable] = None
+  actor_select: Optional[Callable] = None
+  actor_reset: Optional[Callable] = None
+  # 'transition' (n-step batches via replay.sample) or 'sequence'
+  # (contiguous windows via replay.sample_sequence).
+  sample_kind: str = 'transition'
+  seq_len: int = 0
 
 
 def _finetune_init(config: TrainConfig):
@@ -130,6 +154,20 @@ def make_agent_core(config: TrainConfig) -> AgentCore:
         select_action=functools.partial(_select, dqn_lib.select_action, dcfg),
         train_step=functools.partial(dqn_lib.train_step, dcfg),
         min_replay_history=dcfg.min_replay_history)
+  if config.agent == 'r2d2':
+    rcfg = config.r2d2
+    return AgentCore(
+        name='r2d2', uses_replay=True,
+        epsilon_train=(0.0 if eps < 0 else eps),
+        init=lambda key, d: r2d2_lib.init(key, rcfg, d),
+        params_of=lambda s: s.params,
+        select_action=None,  # Recurrent: use actor_select.
+        train_step=functools.partial(r2d2_lib.train_step, rcfg),
+        min_replay_history=rcfg.min_replay_history,
+        actor_init=functools.partial(r2d2_lib.actor_init, rcfg),
+        actor_select=functools.partial(r2d2_lib.actor_select, rcfg),
+        actor_reset=r2d2_lib.actor_reset,
+        sample_kind='sequence', seq_len=rcfg.seq_len)
   if config.agent == 'mlp':
     num_envs = config.num_envs
     return AgentCore(
@@ -160,6 +198,9 @@ class TrainState:
   episode_return: jnp.ndarray  # (E,) float32 running episodic return.
   mp: marco_polo.MarcoPoloState  # Batched.
   learner: Any
+  # Recurrent agents' per-env policy state ((E, ...) leaves; () for
+  # feedforward agents).
+  actor: Any
   replay: replay_lib.ReplayState
   key: jax.Array
   env_steps: jnp.ndarray  # int32 total lockstep env steps.
@@ -179,13 +220,15 @@ def init_train_state(key: jax.Array, env_params: env_lib.EnvParams,
 
   learner = core.init(learner_key, obs.shape[-1])
   replay = replay_lib.init(config.num_envs, obs.shape[-1], config.replay)
+  actor = (core.actor_init(config.num_envs)
+           if core.actor_init is not None else ())
 
   return TrainState(
       env_state=env_state, obs=obs,
       active=jnp.ones((config.num_envs,), jnp.bool_),
       episode_step=jnp.zeros((config.num_envs,), jnp.int32),
       episode_return=jnp.zeros((config.num_envs,), jnp.float32),
-      mp=mp, learner=learner, replay=replay,
+      mp=mp, learner=learner, actor=actor, replay=replay,
       key=loop_key, env_steps=jnp.int32(0), episodes_done=jnp.int32(0))
 
 
@@ -227,8 +270,11 @@ def selective_reset(ts: TrainState, env_params: env_lib.EnvParams,
   core = make_agent_core(config)
   learner = (core.on_reset(ts.learner, needs) if core.on_reset is not None
              else ts.learner)
+  actor = (core.actor_reset(ts.actor, needs)
+           if core.actor_reset is not None else ts.actor)
   ts = ts.replace(
       learner=learner,
+      actor=actor,
       env_state=_where_leading(needs, new_env, ts.env_state),
       obs=jnp.where(needs[:, None], new_obs, ts.obs),
       active=jnp.ones_like(ts.active),
@@ -248,8 +294,13 @@ def env_step(config: TrainConfig, env_params: env_lib.EnvParams,
   key, mp_key, sample_key, eps_key = jax.random.split(ts.key, 4)
 
   params = core.params_of(ts.learner)
-  rl_actions = core.select_action(params, ts.obs, eps_key,
-                                  core.epsilon_train)
+  if core.actor_select is not None:
+    actor, rl_actions = core.actor_select(params, ts.actor, ts.obs,
+                                          eps_key, core.epsilon_train)
+  else:
+    actor = ts.actor
+    rl_actions = core.select_action(params, ts.obs, eps_key,
+                                    core.epsilon_train)
   if config.use_marco_polo:
     mp_keys = jax.random.split(mp_key, config.num_envs)
     mp, actions = jax.vmap(marco_polo.step)(ts.mp, ts.obs, rl_actions,
@@ -272,8 +323,12 @@ def env_step(config: TrainConfig, env_params: env_lib.EnvParams,
       learner, rep = carry
       def body(i, carry):
         learner, rep, metrics_sum = carry
-        batch = replay_lib.sample(rep, config.replay,
-                                  jax.random.fold_in(sample_key, i))
+        step_key = jax.random.fold_in(sample_key, i)
+        if core.sample_kind == 'sequence':
+          batch = replay_lib.sample_sequence(rep, config.replay, step_key,
+                                             core.seq_len)
+        else:
+          batch = replay_lib.sample(rep, config.replay, step_key)
         learner, metrics = core.train_step(learner, batch, grad_transform)
         if config.replay.prioritized:
           rep = replay_lib.update_priorities(rep, config.replay,
@@ -322,7 +377,7 @@ def env_step(config: TrainConfig, env_params: env_lib.EnvParams,
                   episode_step=ts.episode_step +
                   ts.active.astype(jnp.int32),
                   episode_return=ts.episode_return + masked_reward,
-                  mp=mp, learner=learner,
+                  mp=mp, learner=learner, actor=actor,
                   replay=rep, key=key, env_steps=ts.env_steps + 1)
   return ts, metrics
 
@@ -345,8 +400,22 @@ def run_episode_chunk(config: TrainConfig, env_params: env_lib.EnvParams,
 
 
 def make_eval_policy(config: TrainConfig, learner_params):
-  """(policy_init, policy_step) pair for eval_lib with greedy actions."""
+  """(policy_init, policy_step) pair for eval_lib with greedy actions.
+
+  Recurrent agents carry their LSTM state through eval_lib's policy
+  state (build_eval_fn threads `pstate` per seed)."""
   core = make_agent_core(config)
+
+  if core.actor_select is not None:
+    def policy_init(key):
+      del key
+      return core.actor_init(())
+
+    def policy_step(state, obs, key):
+      del key
+      return core.actor_select(learner_params, state, obs, None, 0.0)
+
+    return policy_init, policy_step
 
   def policy_init(key):
     del key

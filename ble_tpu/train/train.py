@@ -28,11 +28,18 @@ def make_periodic_eval(base_dir, env_params, field_fn, config,
                        eval_suite: str, t_start: float):
   """Greedy-policy eval on a suite; appends one JSON line per call."""
   core = learner_lib.make_agent_core(config)
-  eval_fn = eval_lib.build_parametric_eval_fn(
-      env_params, field_fn,
-      policy_init=lambda params, key: (),
-      policy_step=lambda params, state, obs, key: (
-          state, core.select_action(params, obs[None], None, 0.0)[0]))
+  if core.actor_select is not None:  # Recurrent (r2d2): thread the carry.
+    eval_fn = eval_lib.build_parametric_eval_fn(
+        env_params, field_fn,
+        policy_init=lambda params, key: core.actor_init(()),
+        policy_step=lambda params, state, obs, key: core.actor_select(
+            params, state, obs, None, 0.0))
+  else:
+    eval_fn = eval_lib.build_parametric_eval_fn(
+        env_params, field_fn,
+        policy_init=lambda params, key: (),
+        policy_step=lambda params, state, obs, key: (
+            state, core.select_action(params, obs[None], None, 0.0)[0]))
   seeds = np.asarray(suites.get_eval_suite(eval_suite).seeds, np.int32)
   curve_path = os.path.join(base_dir, 'learning_curve.jsonl')
 

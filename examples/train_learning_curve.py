@@ -123,12 +123,20 @@ def main():
       learner_lib.selective_reset, env_params=env_params, config=config))
   field_key = jax.random.PRNGKey(args.seed ^ 0x0F1E2D3C)
 
-  greedy_fn = eval_lib.build_parametric_eval_fn(
-      env_params, field_fn,
-      policy_init=lambda params, key: (),
-      policy_step=lambda params, state, obs, key: (
-          state, core.select_action(params, obs, None, 0.0)),
-      max_steps=args.eval_max_steps)
+  if core.actor_select is not None:  # Recurrent (r2d2).
+    greedy_fn = eval_lib.build_parametric_eval_fn(
+        env_params, field_fn,
+        policy_init=lambda params, key: core.actor_init(()),
+        policy_step=lambda params, state, obs, key: core.actor_select(
+            params, state, obs, None, 0.0),
+        max_steps=args.eval_max_steps)
+  else:
+    greedy_fn = eval_lib.build_parametric_eval_fn(
+        env_params, field_fn,
+        policy_init=lambda params, key: (),
+        policy_step=lambda params, state, obs, key: (
+            state, core.select_action(params, obs, None, 0.0)),
+        max_steps=args.eval_max_steps)
 
   def greedy_eval(params):
     return jax.tree.map(np.asarray, greedy_fn(params, eval_seeds))

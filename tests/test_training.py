@@ -281,3 +281,104 @@ def test_distributed_step_8_devices():
   assert np.all(np.isfinite(np.asarray(leaf)))
   ts, metrics = step(ts)
   assert int(ts.env_steps) == 12
+
+
+def test_replay_sample_sequence_coherence():
+  """Sequence windows mask episode boundaries and unwritten slots."""
+  cfg = replay_lib.ReplayConfig(ring_len=32, batch_size=16, n_step=1)
+  rep = replay_lib.init(2, 3, cfg)
+  # Env 0: episode of 10 steps, terminal at step 9, then a new episode.
+  for t in range(20):
+    ep_step = t if t < 10 else t - 10
+    rep = replay_lib.add(
+        rep, cfg,
+        obs=jnp.full((2, 3), float(t)),
+        action=jnp.full((2,), t % 3, jnp.int32),
+        reward=jnp.full((2,), 1.0),
+        terminal=jnp.asarray([t == 9, False]),
+        active=jnp.asarray([True, True]),
+        episode_step=jnp.asarray([ep_step, t], jnp.int32))
+
+  batch = replay_lib.sample_sequence(rep, cfg, jax.random.PRNGKey(0),
+                                     seq_len=6)
+  assert batch['obs'].shape == (16, 7, 3)
+  assert batch['step_weight'].shape == (16, 6)
+  w = np.asarray(batch['step_weight'])
+  obs0 = np.asarray(batch['obs'][:, :, 0])  # Encodes the global step t.
+  env = np.asarray(batch['env_idx'])
+  for b in range(16):
+    for s in range(6):
+      if w[b, s] == 1.0:
+        t0, t1 = obs0[b, s], obs0[b, s + 1]
+        assert t1 == t0 + 1  # Written, consecutive.
+        if env[b] == 0:
+          # Never trains across the terminal at t=9 -> 10 boundary...
+          assert not (t0 == 9)
+  # ...but some steps must be trainable at all.
+  assert w.sum() > 0
+
+
+def test_r2d2_sequence_loss_reduces():
+  from ble_tpu.agents import r2d2 as r2d2_lib
+  cfg = r2d2_lib.R2d2Config(hidden_units=24, lstm_units=16, num_atoms=7,
+                            seq_len=6, burn_in=2, learning_rate=1e-3,
+                            target_update_period=1000)
+  state = r2d2_lib.init(jax.random.PRNGKey(0), cfg, obs_dim=5)
+  rng = np.random.RandomState(0)
+  batch = {
+      'obs': jnp.asarray(rng.randn(8, 7, 5), jnp.float32),
+      'action': jnp.asarray(rng.randint(0, 3, (8, 7))),
+      'reward': jnp.asarray(rng.rand(8, 7), jnp.float32),
+      'terminal': jnp.zeros((8, 7), jnp.bool_),
+      'step_weight': jnp.ones((8, 6)),
+  }
+  step = jax.jit(functools.partial(r2d2_lib.train_step, cfg))
+  losses = []
+  for _ in range(50):
+    state, metrics = step(state, batch)
+    losses.append(float(metrics['loss']))
+  assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
+  # Burn-in steps excluded from the loss mask.
+  assert float(metrics['valid_frac']) == pytest.approx(4.0 / 6.0)
+
+
+@pytest.mark.slow
+def test_r2d2_harness_end_to_end():
+  """r2d2 trains through the generic harness with recurrent actor state."""
+  from ble_tpu.agents import r2d2 as r2d2_lib
+  config = learner_lib.TrainConfig(
+      agent='r2d2', num_envs=4, samples_per_insert=8.0,
+      r2d2=r2d2_lib.R2d2Config(hidden_units=24, lstm_units=16, num_atoms=7,
+                               seq_len=6, burn_in=2, min_replay_history=8),
+      replay=replay_lib.ReplayConfig(ring_len=64, batch_size=4))
+  env_params = env_lib.EnvParams()
+  field_fn = env_lib.make_field_fn('static')
+  ts = learner_lib.init_train_state(jax.random.PRNGKey(0), env_params,
+                                    field_fn, config)
+  # The actor carry is batched per env.
+  assert ts.actor[0].shape == (4, 16)
+  step = jax.jit(functools.partial(learner_lib.run_episode_chunk, config,
+                                   env_params, num_steps=12))
+  ts, metrics = step(ts)
+  assert int(ts.env_steps) == 12
+  assert int(ts.learner.train_steps) > 0
+  assert np.all(np.isfinite(np.asarray(metrics['loss'])))
+  # The carry moved (the LSTM saw real observations).
+  assert float(jnp.sum(jnp.abs(ts.actor[1]))) > 0.0
+
+  # Selective reset zeroes the re-initialized envs' carry lanes only.
+  ts = ts.replace(active=jnp.asarray([False, True, False, True]))
+  fields = jax.vmap(lambda k: field_fn(k))(
+      jax.random.split(jax.random.PRNGKey(5), 4))
+  ts2, _ = learner_lib.selective_reset(ts, env_params, config, fields)
+  h = np.asarray(ts2.actor[1])
+  assert np.allclose(h[0], 0.0) and np.allclose(h[2], 0.0)
+  assert not np.allclose(h[1], 0.0)
+
+  # Greedy eval policy threads the carry through eval_lib.
+  from ble_tpu.train import eval_lib
+  pinit, pstep = learner_lib.make_eval_policy(config, ts2.learner.params)
+  eval_fn = eval_lib.build_eval_fn(env_params, field_fn, pinit, pstep,
+                                   max_steps=8)
+  out = eval_fn(jnp.asarray([0, 1], jnp.int32))
+  assert np.all(np.isfinite(np.asarray(out['cumulative_reward'])))
