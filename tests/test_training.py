@@ -19,8 +19,9 @@ from ble_tpu.train import learner as learner_lib
 
 
 def _small_qrdqn(**kw):
+  kw.setdefault('min_replay_history', 8)
   return qrdqn.QrDqnConfig(num_layers=2, hidden_units=32, num_atoms=11,
-                           min_replay_history=8, **kw)
+                           **kw)
 
 
 def test_replay_n_step_return():
@@ -382,3 +383,83 @@ def test_r2d2_harness_end_to_end():
                                    max_steps=8)
   out = eval_fn(jnp.asarray([0, 1], jnp.int32))
   assert np.all(np.isfinite(np.asarray(out['cumulative_reward'])))
+
+
+@pytest.mark.slow
+def test_distributed_trajectories_match_single_device():
+  """VERDICT item 6: the 8-device sharded step produces bit-identical env
+  trajectories and replay contents to the single-device vmapped path.
+
+  Policy randomness is removed (greedy actions, no MarcoPolo) and
+  learning disabled (min_replay_history above the horizon), so any
+  divergence isolates the sharding itself: state layout, shard_map
+  closure, replay writes.
+  """
+  mesh = distributed.make_mesh()
+  config = learner_lib.TrainConfig(
+      num_envs=16, samples_per_insert=8.0, use_marco_polo=False,
+      qrdqn=_small_qrdqn(min_replay_history=10_000),
+      replay=replay_lib.ReplayConfig(ring_len=16, batch_size=8))
+  env_params = env_lib.EnvParams()
+  field_fn = env_lib.make_field_fn('static')
+
+  ts_single = learner_lib.init_train_state(
+      jax.random.PRNGKey(0), env_params, field_fn, config)
+  chunk = jax.jit(functools.partial(learner_lib.run_episode_chunk, config,
+                                    env_params, num_steps=5))
+  ts_single, _ = chunk(ts_single)
+
+  ts_dist = distributed.init_distributed_train_state(
+      jax.random.PRNGKey(0), mesh, config, env_params, field_fn)
+  step = distributed.build_distributed_step(mesh, config, env_params,
+                                            num_steps=5)
+  ts_dist, _ = step(ts_dist)
+
+  np.testing.assert_array_equal(np.asarray(ts_single.obs),
+                                np.asarray(ts_dist.obs))
+  np.testing.assert_array_equal(
+      np.asarray(ts_single.env_state.balloon.pressure_pa),
+      np.asarray(ts_dist.env_state.balloon.pressure_pa))
+  # Replay rows (per-env lanes) match exactly: each shard wrote only its
+  # own envs, in the global order.
+  np.testing.assert_array_equal(np.asarray(ts_single.replay.obs),
+                                np.asarray(ts_dist.replay.obs))
+  np.testing.assert_array_equal(np.asarray(ts_single.replay.valid),
+                                np.asarray(ts_dist.replay.valid))
+
+
+@pytest.mark.slow
+def test_distributed_learner_stays_replicated():
+  """After real pmean-coupled updates, every shard holds the same params."""
+  from jax.sharding import PartitionSpec as P
+  mesh = distributed.make_mesh()
+  config = learner_lib.TrainConfig(
+      num_envs=16, samples_per_insert=8.0,
+      qrdqn=_small_qrdqn(min_replay_history=2),
+      replay=replay_lib.ReplayConfig(ring_len=32, batch_size=8))
+  env_params = env_lib.EnvParams()
+  field_fn = env_lib.make_field_fn('static')
+  ts = distributed.init_distributed_train_state(
+      jax.random.PRNGKey(0), mesh, config, env_params, field_fn)
+  step = distributed.build_distributed_step(mesh, config, env_params,
+                                            num_steps=12)
+  ts, _ = step(ts)
+  assert int(np.asarray(ts.learner.train_steps)) > 0
+
+  # Measure per-shard deviation from the cross-shard mean INSIDE a
+  # shard_map (check_vma=False in the trainer skips jax's own
+  # replication check, so verify explicitly).
+  def max_dev(params):
+    def local(p):
+      devs = [jnp.max(jnp.abs(leaf - jax.lax.pmean(leaf, 'env')))
+              for leaf in jax.tree.leaves(p)]
+      return jax.lax.pmax(jnp.max(jnp.stack(devs)), 'env')
+    specs = jax.tree.map(lambda _: P(), params)
+    return jax.shard_map(local, mesh=mesh, in_specs=(specs,),
+                         out_specs=P(), check_vma=False)(params)
+
+  # On real TPU ICI the all-reduce returns bit-identical results on all
+  # participants; the CPU-backend emulation may differ in accumulation
+  # order by a ulp per reduction, so allow ulp-scale drift only.
+  assert float(max_dev(ts.learner.params)) < 1e-6
+  assert float(max_dev(ts.learner.target_params)) < 1e-6
