@@ -47,6 +47,8 @@ def main():
       functools.partial(env_lib.reset, params=env_params, field_fn=field_fn)))
   reset_chunk = int(os.environ.get('BENCH_RESET_CHUNK', '512'))
 
+  unroll = int(os.environ.get('BENCH_UNROLL', '1'))
+
   def rollout(state, keys):
     """Scans NUM_STEPS env steps and returns ONLY scalar statistics.
 
@@ -55,16 +57,22 @@ def main():
     would measure network bandwidth, not the simulator. Sustained
     throughput is the per-step cost inside one long scan; on a directly
     attached TPU the state can be chained across calls instead.
+
+    NOT donated: the same input state is reused for every timing round,
+    so peak HBM is 2x the env state (input + scan carry) instead of the
+    old 3-pre-staged-copies scheme's 4x -- 32768 envs (~5 GB state) now
+    fits a 16 GB chip. `unroll` amortizes per-iteration launch overhead
+    (the step is kernel-launch-bound at 4096 envs; STATUS.md ablation).
     """
     def body(carry, key):
       # Random policy (BASELINE config 3: 4096 envs, random agent).
       actions = jax.random.randint(key, (num_envs,), 0, 3)
       out = env_lib.step_batched(env_params, carry, actions)
       return out.state, out.reward
-    state, rewards = jax.lax.scan(body, state, keys)
+    state, rewards = jax.lax.scan(body, state, keys, unroll=unroll)
     return rewards.sum(), rewards.mean()
 
-  rollout = jax.jit(rollout, donate_argnums=(0,))
+  rollout = jax.jit(rollout)
 
   # Reset in chunks: the one-time reset (VAE decode + sunrise search) has a
   # larger live set than the steady-state step.
@@ -75,18 +83,15 @@ def main():
   obs = jnp.concatenate([p[1] for p in parts])
   jax.block_until_ready(obs)
 
-  import copy
   step_keys = jax.random.split(jax.random.PRNGKey(7), NUM_STEPS)
-  # Warmup / compile. Donation consumes `state`, so keep per-round copies.
-  states = [jax.tree.map(jnp.copy, state) for _ in range(3)]
-  total, _ = rollout(state, step_keys)
+  total, _ = rollout(state, step_keys)  # Warmup / compile.
   float(total)  # Forced host fetch: real device sync.
 
   times = []
   for i in range(3):
     ks = jax.random.split(jax.random.PRNGKey(100 + i), NUM_STEPS)
     t0 = time.perf_counter()
-    total, _ = rollout(states[i], ks)
+    total, _ = rollout(state, ks)
     float(total)
     times.append(time.perf_counter() - t0)
   elapsed = min(times)

@@ -20,17 +20,12 @@ from ble_tpu.agents import qrdqn as qrdqn_lib
 
 
 def _restore_params(checkpoint_dir: str):
-  from ble_tpu.env import env as env_lib
-  from ble_tpu.train import learner as learner_lib
+  # Template-free params extraction: robust to the replay/env shapes the
+  # checkpoint was trained with (a full-TrainState StandardRestore against
+  # a mismatched template throws opaquely).
   from ble_tpu.train import train_lib
-  config = learner_lib.TrainConfig(num_envs=1)
-  ts = learner_lib.init_train_state(
-      jax.random.PRNGKey(0), env_lib.EnvParams(),
-      env_lib.make_field_fn('static'), config)
-  ts, it = train_lib.restore_latest_checkpoint(checkpoint_dir, ts)
-  if it < 0:
-    raise ValueError(f'No checkpoint found in {checkpoint_dir}')
-  return ts.learner.params
+  params, _ = train_lib.restore_latest_learner_params(checkpoint_dir)
+  return params
 
 
 @base.register('quantile')

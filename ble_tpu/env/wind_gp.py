@@ -87,48 +87,6 @@ def _kernel_vec(loc, locations):
   return SIGMA_EXP_SQUARED * jnp.exp(-d)
 
 
-def _downdate(kinv, active, slot_onehot):
-  """Removes one active slot from the inverse (Schur complement).
-
-  slot_onehot: (CAP,) float one-hot of the slot to remove (no-op if the
-  zero vector).
-  """
-  any_remove = jnp.sum(slot_onehot) > 0.0
-  col = jnp.matmul(kinv, slot_onehot, precision=_PREC)  # kinv[:, s].
-  d = jnp.dot(slot_onehot, col, precision=_PREC)  # kinv[s, s].
-  # Exact arithmetic gives d = (K^-1)_ss >= 1/K_ss; clamp to that bound so
-  # float error can never flip the sign or explode the division.
-  d_min = 1.0 / (SIGMA_EXP_SQUARED + SIGMA_NOISE_SQUARED)
-  safe_d = jnp.where(jnp.abs(d) > d_min, d, jnp.where(any_remove, d_min, 1.0))
-  # Since kinv[s, :] == col^T (symmetry), the Schur subtraction already
-  # zeroes row/col s; restoring the identity slot is +outer(e, e). One
-  # fused rank-2 update, no masks.
-  kinv2 = kinv - jnp.outer(col, col) / safe_d + jnp.outer(slot_onehot,
-                                                          slot_onehot)
-  kinv = jnp.where(any_remove, kinv2, kinv)
-  active = jnp.logical_and(active, slot_onehot < 0.5)
-  return kinv, active
-
-
-def _insert(kinv, active, locations, loc, slot):
-  """Bordered-inverse insert of a new observation at `slot`."""
-  v = jnp.where(active, _kernel_vec(loc, locations), 0.0)  # (CAP,)
-  u = jnp.matmul(kinv, v, precision=_PREC)
-  d = SIGMA_EXP_SQUARED + SIGMA_NOISE_SQUARED
-  # Exact schur >= sigma_noise^2 (posterior variance at an observed point
-  # cannot fall below the noise floor).
-  schur = jnp.maximum(d - jnp.dot(v, u, precision=_PREC),
-                      SIGMA_NOISE_SQUARED)
-  e = (jnp.arange(CAPACITY) == slot).astype(jnp.float32)
-  # Slot s is an identity row here (v[s] = 0, u[s] = 0), so the bordered
-  # inverse collapses to one rank-1 update with w = u - e:
-  #   kinv_z = kinv - outer(e, e);  kinv' = kinv_z + outer(w, w)/schur.
-  w = u - e
-  kinv_new = kinv + jnp.outer(w, w) / schur - jnp.outer(e, e)  # VPU ops.
-  active = jnp.logical_or(active, e > 0.5)
-  return kinv_new, active
-
-
 def observe(state: WindGPState, x_m, y_m, pressure_pa, elapsed_s,
             error_u, error_v, enabled=True) -> WindGPState:
   """Adds one (location, forecast-error) measurement
@@ -145,11 +103,30 @@ def observe(state: WindGPState, x_m, y_m, pressure_pa, elapsed_s,
   the observe matches its semantics exactly.
 
   All of this step's inverse modifications (<=2 window expiries, ring-slot
-  eviction, one insert) are known before touching `kinv`, so they are
-  fused into ONE batched matvec against the base inverse plus ONE rank-8
-  outer-product update -- two passes over the (CAP, CAP) matrix total,
-  instead of one per modification (the matrix is the dominant HBM traffic
-  at large env batches).
+  eviction, one insert) are sequential clamped rank-1 updates
+  kinv' = kinv + sum_j c_j w_j w_j^T, and every w_j lives in the span of
+  a fixed 9-column basis  B = [kinv @ U | U[:, :4]]  (U = the 4 slot
+  one-hots + the new kernel column). The sequential algorithm — including
+  the exact-arithmetic clamps on the removal pivot
+  (d >= 1/(sigma_f^2+sigma_n^2)) and the insert Schur complement
+  (>= sigma_noise^2) that keep the f32 inverse stable in the
+  near-duplicate regime — therefore runs in 9-dimensional COORDINATES
+  (inner products come from S = U^T kinv U and T = E^T U); the real
+  update vectors are reconstructed at the end with ONE matmul
+  W = B @ G, followed by the same rank-8 outer-product update as the
+  per-vector scheme.
+
+  Big-matrix traffic: 5 (CAP, .)-touching matmuls total (M = kinv @ U,
+  S/T, W = B G, the rank-8 update, alpha) instead of the naive
+  one-kernel-per-modification (~25 launches; the step is launch-bound,
+  STATUS.md). Two rejected variants, for the record: (a) a one-shot
+  block-Woodbury (8x8 solve, no per-update clamps) blows up
+  exponentially in the eviction-churn regime — the clamps are
+  load-bearing; (b) applying the update as the composite sandwich
+  kinv + B Z B^T loses ~1 decimal digit to cross-column cancellation in
+  the f32 matmul accumulator (10x worse posterior drift) — hence the
+  real-space rank-8 form. alpha is recomputed exactly from kinv' (one
+  (CAP, CAP) @ (CAP, 2) matmul), tighter than low-rank alpha tracking.
 
   Numerics (measured; tests/test_wind.py::test_wind_gp_960_step_churn_
   drift): over a full 960-step episode with ~830 ring evictions the
@@ -192,60 +169,88 @@ def observe(state: WindGPState, x_m, y_m, pressure_pa, elapsed_s,
                                            (slot, 0))
   errors = jax.lax.dynamic_update_slice(state.errors, err[None, :], (slot, 0))
   active_final = jnp.logical_or(active_pre_insert, slot_e > 0.5)
-  v = jnp.where(active_pre_insert, _kernel_vec(loc, state.locations), 0.0)
   targets = jnp.where(active_final[:, None], errors, 0.0)
 
-  # --- One batched matvec against the BASE inverse. ---
-  rhs = jnp.concatenate([e1[:, None], e2[:, None], eo[:, None], v[:, None],
-                         targets], axis=1)  # (CAP, 6)
-  m = jnp.matmul(kinv, rhs, precision=_PREC)  # (CAP, 6)
+  # --- Update columns: the 4 slot one-hots and the new kernel column
+  # (against the post-removal active set). A one-hot is the zero vector
+  # when its modification does not happen, which makes every degenerate
+  # term below an exact no-op with NO masking (zero basis columns
+  # contribute nothing regardless of their Z coefficients).
+  v = jnp.where(active_pre_insert, _kernel_vec(loc, state.locations), 0.0)
+  u_mat = jnp.stack([e1, e2, eo, slot_e, v], axis=1)  # (CAP, 5)
 
-  # --- Low-rank bookkeeping: kinv_final = kinv + sum_j c_j w_j w_j^T. ---
-  ws = []
-  cs = []
+  # --- Small-space bookkeeping in the basis B = [kinv @ U | U[:, :4]].
+  m_mat = jnp.matmul(kinv, u_mat, precision=_PREC)  # (CAP, 5)
+  s_mat = jnp.matmul(u_mat.T, m_mat, precision=_PREC)  # (5, 5) = U^T kinv U
+  t_mat = jnp.matmul(u_mat[:, :4].T, u_mat, precision=_PREC)  # (4,5) E^T U
 
-  def cur_matvec(base_col, x):
-    r = base_col
-    for w, c in zip(ws, cs):
-      r = r + c * w * jnp.dot(w, x, precision=_PREC)
+  d0 = SIGMA_EXP_SQUARED + SIGMA_NOISE_SQUARED
+
+  eye9 = jnp.eye(9, dtype=jnp.float32)
+
+  def q_of(col):  # B^T @ U[:, col] in basis coordinates.
+    return jnp.concatenate([s_mat[:, col], t_mat[:, col]])
+
+  gs = []  # Update vectors in basis coordinates: w_j = B @ g_j.
+  cs = []  # Their rank-1 coefficients: kinv' = kinv + sum c_j w_j w_j^T.
+
+  def z_matvec(q):
+    r = jnp.zeros((9,), jnp.float32)
+    for g, c in zip(gs, cs):
+      r = r + c * g * jnp.dot(g, q)
     return r
 
-  def downdate_terms(base_col, e):
-    col = cur_matvec(base_col, e)
-    d = jnp.dot(e, col, precision=_PREC)
-    d_min = 1.0 / (SIGMA_EXP_SQUARED + SIGMA_NOISE_SQUARED)
-    removing = jnp.sum(e) > 0
+  def downdate(col_e, removing):
+    """Schur removal of the slot whose one-hot is U[:, col_e].
+
+    kinv_j e = B (eye[col_e] + Z q)  since kinv e is basis column
+    col_e and B^T e = q; the clamp is the original exact-arithmetic
+    bound (d = (K^-1)_ss >= 1/K_ss) that keeps rounding from flipping
+    the pivot sign or exploding the division.
+    """
+    q = q_of(col_e)
+    g_col = eye9[col_e] + z_matvec(q)
+    d = jnp.dot(q, g_col)
+    d_min = 1.0 / d0
     safe_d = jnp.where(jnp.abs(d) > d_min, d,
                        jnp.where(removing, d_min, 1.0))
-    ws.append(jnp.where(removing, col, 0.0))
+    gs.append(jnp.where(removing, g_col, 0.0))
     cs.append(-1.0 / safe_d)
-    ws.append(e)  # Zero vector when not removing.
+    # Restore the identity slot: + e e^T (basis column 5 + col_e; the
+    # zero vector when the modification does not happen).
+    gs.append(eye9[5 + col_e])
     cs.append(jnp.float32(1.0))
 
-  downdate_terms(m[:, 0], e1)
-  downdate_terms(m[:, 1], e2)
-  downdate_terms(m[:, 2], eo)
+  downdate(0, jnp.sum(e1) > 0)
+  downdate(1, jnp.sum(e2) > 0)
+  downdate(2, jnp.sum(eo) > 0)
 
-  # Insert (bordered inverse; slot is an identity row at this point).
-  u = cur_matvec(m[:, 3], v)
-  d_new = SIGMA_EXP_SQUARED + SIGMA_NOISE_SQUARED
-  schur = jnp.maximum(d_new - jnp.dot(v, u, precision=_PREC),
-                      SIGMA_NOISE_SQUARED)
-  ws.append(u - slot_e)
+  # Bordered insert at `slot` (an identity row post-removals). slot_e
+  # is U column 3 = basis column 8.
+  q_v = q_of(4)
+  g_u = eye9[4] + z_matvec(q_v)
+  # Exact Schur >= sigma_noise^2 (posterior variance at an observed
+  # point cannot fall below the noise floor).
+  schur = jnp.maximum(d0 - jnp.dot(q_v, g_u), SIGMA_NOISE_SQUARED)
+  gs.append(g_u - eye9[8])
   cs.append(1.0 / schur)
-  ws.append(slot_e)
+  gs.append(eye9[8])
   cs.append(jnp.float32(-1.0))
 
-  # --- One rank-8 update pass over kinv. ---
-  w_mat = jnp.stack(ws, axis=1)  # (CAP, 8)
-  c_vec = jnp.stack(cs)  # (8,)
+  g_mat = jnp.stack(gs, axis=1).astype(jnp.float32)  # (9, 8)
+  c_vec = jnp.stack(cs).astype(jnp.float32)  # (8,)
+
+  # --- Reconstruct the real update vectors with ONE matmul, then apply
+  # the same rank-8 outer-product update as the per-vector scheme (the
+  # fully composite B Z B^T sandwich loses ~1 decimal digit to
+  # cross-column cancellation; this form matches the round-1 numerics).
+  b_mat = jnp.concatenate([m_mat, u_mat[:, :4]], axis=1)  # (CAP, 9)
+  w_mat = jnp.matmul(b_mat, g_mat, precision=_PREC)  # (CAP, 8)
   kinv_new = kinv + jnp.matmul(w_mat * c_vec, w_mat.T, precision=_PREC)
 
-  # alpha = kinv_final @ targets, expanded through the low-rank terms.
-  alpha = m[:, 4:6]
-  for w, c in zip(ws, cs):
-    alpha = alpha + c * w[:, None] * jnp.matmul(w, targets,
-                                                precision=_PREC)[None, :]
+  # alpha recomputed exactly from the new inverse: one more (CAP, CAP)
+  # matmul, tighter than incremental alpha tracking.
+  alpha = jnp.matmul(kinv_new, targets, precision=_PREC)
 
   new_state = WindGPState(locations=locations, errors=errors,
                           active=active_final, kinv=kinv_new, alpha=alpha,

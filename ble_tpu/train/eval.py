@@ -41,18 +41,15 @@ def make_policy_fns(agent_name: str, checkpoint_dir=None):
                     'r2d2'):
     from ble_tpu.train import learner as learner_lib
     from ble_tpu.train import train_lib
-    # The restore template must be built for the SAME agent the
-    # checkpoint was trained with (learner pytrees differ per agent).
+    # config carries the network architecture for the requested agent;
+    # params come out of the checkpoint template-free (no TrainState
+    # reconstruction, so the training-time replay/env shapes don't
+    # matter here).
     config = learner_lib.TrainConfig(agent=agent_name)
     if checkpoint_dir is None:
       raise ValueError(f'{agent_name} needs --checkpoint_dir')
-    ts = learner_lib.init_train_state(
-        jax.random.PRNGKey(0), env_lib.EnvParams(),
-        env_lib.make_field_fn('static'), config.replace(num_envs=1))
-    ts, it = train_lib.restore_latest_checkpoint(checkpoint_dir, ts)
-    if it < 0:
-      raise ValueError(f'No checkpoint found in {checkpoint_dir}')
-    return learner_lib.make_eval_policy(config, ts.learner.params)
+    params, _ = train_lib.restore_latest_learner_params(checkpoint_dir)
+    return learner_lib.make_eval_policy(config, params)
   raise ValueError(f'Unknown agent: {agent_name}')
 
 

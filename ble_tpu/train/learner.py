@@ -383,20 +383,26 @@ def env_step(config: TrainConfig, env_params: env_lib.EnvParams,
 
 
 def run_episode_chunk(config: TrainConfig, env_params: env_lib.EnvParams,
-                      ts: TrainState, num_steps: int, grad_transform=None):
+                      ts: TrainState, num_steps: int, grad_transform=None,
+                      unroll: int = 1):
   """Scans `num_steps` lockstep env steps; returns (state, stacked metrics).
 
   Chunk boundaries double as the GP's exact-inverse refresh cadence
   (wind_gp.REFRESH_PERIOD rationale): one batched Cholesky per env per
   chunk washes out the incremental updates' float32 drift at negligible
   amortized cost.
+
+  `unroll` replicates the step body inside the scan loop: the step is
+  kernel-launch-bound below ~8k envs (STATUS.md ablation -- ~200 small
+  kernels/step), and unrolling amortizes loop/dispatch overhead and lets
+  XLA fuse across step boundaries at the cost of compile time.
   """
   from ble_tpu.env import wind_gp
   ts = ts.replace(env_state=ts.env_state.replace(
       gp=jax.vmap(wind_gp.refresh)(ts.env_state.gp)))
   def body(ts, _):
     return env_step(config, env_params, ts, grad_transform)
-  return jax.lax.scan(body, ts, None, length=num_steps)
+  return jax.lax.scan(body, ts, None, length=num_steps, unroll=unroll)
 
 
 def make_eval_policy(config: TrainConfig, learner_params):

@@ -64,6 +64,29 @@ def restore_latest_checkpoint(base_dir: str,
   return restored, latest
 
 
+def restore_latest_learner_params(base_dir: str):
+  """Returns (network_params, iteration) from the latest checkpoint.
+
+  Template-free: reads the raw checkpoint pytree and extracts
+  learner/params, so eval-time policies don't need to reconstruct a full
+  TrainState (whose replay ring / env shapes depend on the training
+  config; a mismatched StandardRestore template throws opaquely).
+  Raises ValueError if no checkpoint exists.
+  """
+  directory = os.path.join(os.path.abspath(base_dir), 'checkpoints')
+  mgr = _checkpoint_manager(base_dir) if os.path.isdir(directory) else None
+  latest = mgr.latest_step() if mgr else None
+  if latest is None:
+    if mgr:
+      mgr.close()
+    raise ValueError(f'No checkpoint found in {base_dir}')
+  raw = mgr.restore(latest)
+  mgr.close()
+  learner = raw['learner'] if isinstance(raw, dict) else raw.learner
+  params = learner['params'] if isinstance(learner, dict) else learner.params
+  return jax.tree.map(jnp.asarray, params), latest
+
+
 def run_training_loop(base_dir: Optional[str],
                       env_params: env_lib.EnvParams,
                       field_fn: Callable,

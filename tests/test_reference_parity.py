@@ -461,3 +461,59 @@ class TestSampling:
       ref_ir = ref_sampling.sample_upwelling_infrared(key)
       my_ir = float(my_sampling.sample_upwelling_infrared(key))
       assert abs(ref_ir - my_ir) < 1.0, (seed, ref_ir, my_ir)
+
+
+class TestNoiseCorrelationStructure:
+  """The wind-noise pipeline's second-order statistics match across
+  runtimes (VERDICT item 5): the harmonic stack defines the spatial/
+  temporal correlation structure that shapes the GP learning problem.
+
+  Both sides run their full pipelines — the reference SimplexWindNoise
+  (via the opensimplex shim) vs ble_tpu's uv_noise — over the same
+  spatial transect, and the autocorrelation functions are compared."""
+
+  def _acf(self, series, lags):
+    series = np.asarray(series, np.float64)
+    series = series - series.mean()
+    denom = float(np.sum(series * series)) or 1.0
+    return np.asarray([
+        float(np.sum(series[:-lag] * series[lag:])) / denom if lag else 1.0
+        for lag in lags])
+
+  def test_spatial_autocorrelation_matches(self):
+    lags = [1, 2, 4, 8, 16, 32]
+    xs_km = np.arange(0.0, 3000.0, 15.0)  # 200 samples, 15 km spacing.
+    n_fields = 12  # ACF of one realization has huge variance (one U
+    # harmonic has a 10214 km x-spacing -> quasi-DC over the transect);
+    # average over independent field resets.
+
+    ref_acfs = []
+    for r in range(n_fields):
+      ref_noise = ref_wf.SimplexWindNoise()
+      ref_noise.reset_wind_noise(jax.random.PRNGKey(100 + r),
+                                 dtm.datetime(2021, 6, 1, tzinfo=_UTC))
+      ref_u = [ref_noise.get_wind_noise(
+          ref_units.Distance(km=float(xk)), ref_units.Distance(km=0.0),
+          9000.0, dtm.timedelta(hours=3)).u.meters_per_second
+          for xk in xs_km]
+      ref_acfs.append(self._acf(ref_u, lags))
+
+    from ble_tpu.env import wind_field as my_wf_mod
+    my_acfs = []
+    for r in range(n_fields):
+      state = my_wf_mod.make_state(jnp.zeros(my_wf_mod.GRID_SHAPE),
+                                   jax.random.PRNGKey(200 + r))
+      my_u, _ = my_wf_mod.get_noise(state, jnp.asarray(xs_km * 1000.0),
+                                    jnp.asarray(np.zeros_like(xs_km)),
+                                    jnp.float32(9000.0),
+                                    jnp.float32(3 * 3600.0))
+      my_acfs.append(self._acf(np.asarray(my_u), lags))
+
+    acf_ref = np.mean(ref_acfs, axis=0)
+    acf_my = np.mean(my_acfs, axis=0)
+    # Same harmonic spacings -> same correlation lengths.
+    assert np.max(np.abs(acf_ref - acf_my)) < 0.25, (acf_ref, acf_my)
+    # Both correlate strongly at short range and decorrelate by 480 km.
+    for acf in (acf_ref, acf_my):
+      assert acf[0] > 0.6
+      assert acf[-1] < 0.55

@@ -213,13 +213,15 @@ def test_wind_gp_observe_disabled_is_noop():
 
 
 def test_wind_gp_duplicate_inserts_blow_up_without_guard():
-  # Documents WHY frozen balloons must not observe: ~150 exact-duplicate
-  # inserts destabilize the incremental f32 inverse (see wind_gp.observe
-  # docstring). The guard (enabled=False) is exercised by
+  # Documents WHY frozen balloons must not observe: a few hundred
+  # exact-duplicate inserts destabilize the incremental f32 inverse
+  # (see wind_gp.observe docstring; the clamps bound each step but the
+  # rank-deficient cancellation still compounds). The guard
+  # (enabled=False) is exercised by
   # test_env.py::test_terminal_env_freezes_gp.
   obs = jax.jit(wind_gp.observe)
   state = wind_gp.init()
-  for _ in range(150):
+  for _ in range(300):
     state = obs(state, 1234.5, -987.0, 9000.0, 5000.0, 3.0, -2.0)
   assert not bool(jnp.all(jnp.isfinite(state.kinv)))
 
