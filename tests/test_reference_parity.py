@@ -517,3 +517,99 @@ class TestNoiseCorrelationStructure:
     for acf in (acf_ref, acf_my):
       assert acf[0] > 0.6
       assert acf[-1] < 0.55
+
+
+class TestSafetyLayers:
+  """Exhaustive action parity of the branchless safety tables vs the
+  reference's `transitions`-based state machines, driven through long
+  random sequences that visit every state/region combination."""
+
+  def test_envelope_safety_sequence(self):
+    from balloon_learning_environment.env.balloon import (
+        envelope_safety as ref_env_safety)
+    from ble_tpu.env import safety as my_safety
+
+    max_sp = 2380.0
+    ref_layer = ref_env_safety.EnvelopeSafetyLayer(max_sp)
+    my_state = jnp.int32(0)
+    rng = np.random.default_rng(13)
+    # Random walk over superpressure hitting every band incl. both
+    # critical regions and the hysteresis bands.
+    sp = 1000.0
+    for i in range(400):
+      sp = float(np.clip(sp + rng.uniform(-260, 260), -50.0, max_sp + 50.0))
+      action = int(rng.integers(0, 3))
+      ref_action = ref_layer.get_action(
+          ref_control.AltitudeControlCommand(action), sp)
+      my_state, my_action = my_safety.envelope_safety(
+          my_state, jnp.int32(action), jnp.float32(sp), jnp.float32(max_sp))
+      assert int(my_action) == int(ref_action), (
+          i, sp, action, int(my_state),
+          ref_layer._state_machine.state)
+      assert int(my_state) == ref_layer._state_machine.state.value
+      assert bool(my_safety.envelope_nav_is_paused(my_state)) == \
+          bool(ref_layer.navigation_is_paused)
+
+  def test_altitude_safety_sequence(self):
+    from balloon_learning_environment.env.balloon import (
+        altitude_safety as ref_alt_safety)
+    from ble_tpu.env import safety as my_safety
+
+    key = jax.random.PRNGKey(2)
+    ref_a = ref_atmo.Atmosphere(key)
+    mine_a = my_atmo.reset(key)
+    ref_layer = ref_alt_safety.AltitudeSafetyLayer()
+    my_state = jnp.int32(0)
+    rng = np.random.default_rng(17)
+    # Pressures spanning the ~50 kft safety band (higher pressure =
+    # lower altitude).
+    p = 11000.0
+    for i in range(300):
+      p = float(np.clip(p + rng.uniform(-260, 260), 9500.0, 12500.0))
+      action = int(rng.integers(0, 3))
+      ref_action = ref_layer.get_action(
+          ref_control.AltitudeControlCommand(action), ref_a, p)
+      my_state, my_action = my_safety.altitude_safety(
+          my_state, jnp.int32(action), mine_a, jnp.float32(p))
+      assert int(my_action) == int(ref_action), (i, p, action)
+      assert int(my_state) == ref_layer._state_machine.state.value
+      assert bool(my_safety.altitude_nav_is_paused(my_state)) == \
+          bool(ref_layer.navigation_is_paused)
+
+  def test_power_safety_sequence(self):
+    from balloon_learning_environment.env.balloon import (
+        power_safety as ref_power_safety)
+    from ble_tpu.env import safety as my_safety
+
+    latlng = s2.LatLng.from_degrees(5.3, -75.0)
+    t0 = dtm.datetime(2021, 6, 1, 22, 0, 0, tzinfo=_UTC)
+    ref_layer = ref_power_safety.PowerSafetyLayer(latlng, t0)
+    my_state = my_safety.PowerSafetyState(
+        navigation_is_paused=jnp.bool_(False),
+        sunrise_with_hysteresis_s=jnp.int32(mapping.dt_to_unix_s(
+            ref_layer._sunrise_with_hysteresis)),
+        sunset_s=jnp.int32(mapping.dt_to_unix_s(ref_layer._sunset)))
+
+    cap_wh = 3058.56
+    night_w = 183.7
+    rng = np.random.default_rng(19)
+    charge_frac = 0.5
+    # 36 h at 20-minute strides: crosses two nights; charge decays into
+    # the pause region and recovers past the restart threshold.
+    for i in range(108):
+      t = t0 + dtm.timedelta(minutes=20 * i)
+      charge_frac = float(np.clip(
+          charge_frac + rng.uniform(-0.06, 0.065), 0.01, 1.0))
+      action = int(rng.integers(0, 3))
+      ref_action = ref_layer.get_action(
+          ref_control.AltitudeControlCommand(action), t,
+          ref_units.Power(watts=night_w),
+          ref_units.Energy(watt_hours=charge_frac * cap_wh),
+          ref_units.Energy(watt_hours=cap_wh))
+      my_state, my_action = my_safety.power_safety(
+          my_state, jnp.int32(action), jnp.int32(mapping.dt_to_unix_s(t)),
+          jnp.float32(night_w), jnp.float32(charge_frac * cap_wh * 3600.0),
+          jnp.float32(cap_wh * 3600.0))
+      assert int(my_action) == int(ref_action), (i, charge_frac, action)
+      assert bool(my_state.navigation_is_paused) == \
+          bool(ref_layer.navigation_is_paused), (i, charge_frac)
