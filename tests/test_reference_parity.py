@@ -613,3 +613,47 @@ class TestSafetyLayers:
       assert int(my_action) == int(ref_action), (i, charge_frac, action)
       assert bool(my_state.navigation_is_paused) == \
           bool(ref_layer.navigation_is_paused), (i, charge_frac)
+
+
+class TestRewardFunction:
+
+  def test_perciatelli_reward_parity(self):
+    """reward at pinned states vs reference perciatelli_reward_function,
+    covering inside/outside radius, the decay tail, and the DOWN-without-
+    excess-energy power penalty band (balloon_env.py:43-102)."""
+    import copy
+    from balloon_learning_environment.env import (
+        balloon_env as ref_env_lib)
+    from ble_tpu.env import env as my_env_lib
+
+    key = jax.random.PRNGKey(0)
+    ref_bs, ref_a = _pinned_ref_state(key)
+    env_params = my_env_lib.EnvParams()
+
+    cases = []
+    for x_km, y_km in [(0.0, 0.0), (30.0, -30.0), (49.9, 0.0),
+                       (51.0, 0.0), (80.0, 60.0), (300.0, -200.0)]:
+      for cmd, acs_w, charge_frac in [(1, 0.0, 0.9), (0, 150.0, 0.9),
+                                      (0, 250.0, 0.2), (0, 350.0, 0.2),
+                                      (2, 0.0, 0.2)]:
+        cases.append((x_km, y_km, cmd, acs_w, charge_frac))
+
+    for x_km, y_km, cmd, acs_w, charge_frac in cases:
+      bs = copy.deepcopy(ref_bs)
+      bs.x = ref_units.Distance(km=x_km)
+      bs.y = ref_units.Distance(km=y_km)
+      bs.last_command = ref_control.AltitudeControlCommand(cmd)
+      bs.acs_power = ref_units.Power(watts=acs_w)
+      bs.battery_charge = charge_frac * bs.battery_capacity
+      # solar_charging stays from the pinned noon state (excess_energy
+      # depends on it identically on both sides).
+      sim_state = ref_sim_data.SimulatorState(bs, None, ref_a)
+      ref_reward = ref_env_lib.perciatelli_reward_function(sim_state)
+
+      params, state = mapping.ref_balloon_state_to_mine(bs)
+      excess = my_balloon.excess_energy(params, state)
+      assert bool(excess) == bool(bs.excess_energy), (charge_frac, acs_w)
+      my_reward = float(my_env_lib.reward_function(env_params, state,
+                                                   excess))
+      assert abs(ref_reward - my_reward) < 1e-5, (
+          x_km, y_km, cmd, acs_w, charge_frac, ref_reward, my_reward)
