@@ -167,11 +167,33 @@ class _BleTpuVaeSampler(ref_gbwf.grid_wind_field_sampler.GridWindFieldSampler
     return np.asarray(self._decode(key), np.float32)
 
 
-def run_reference_eval(suite_name: str, decoder_params) -> list:
+class _SeededRandomAgent(ref_agent_base.Agent):
+  """Uniform-random policy with per-episode reseeding (shared with the
+  ble_tpu side so both runtimes face identically distributed actions)."""
+
+  def __init__(self, num_actions, observation_shape):
+    super().__init__(num_actions, observation_shape)
+    self._rng = np.random.default_rng(0)
+
+  def begin_episode(self, observation):
+    return int(self._rng.integers(0, self._num_actions))
+
+  def step(self, reward, observation):
+    return int(self._rng.integers(0, self._num_actions))
+
+  def end_episode(self, reward, terminal=True):
+    pass
+
+
+def run_reference_eval(suite_name: str, decoder_params,
+                       agent_name: str = 'station_seeker') -> list:
   env = ref_env_lib.BalloonEnv(
       wind_field_factory=lambda: ref_gbwf.GridBasedWindField(
           _BleTpuVaeSampler(decoder_params)))
-  agent = ref_ss.StationSeekerAgent(3, (1099,))
+  if agent_name == 'random':
+    agent = _SeededRandomAgent(3, (1099,))
+  else:
+    agent = ref_ss.StationSeekerAgent(3, (1099,))
   suite = ref_suites.get_eval_suite(suite_name)
   t0 = time.time()
   results = ref_eval_lib.eval_agent(agent, env, suite,
@@ -185,15 +207,19 @@ def run_reference_eval(suite_name: str, decoder_params) -> list:
   } for r in results], wall
 
 
-def run_my_eval(suite_name: str, decoder_params) -> list:
+def run_my_eval(suite_name: str, decoder_params,
+                agent_name: str = 'station_seeker') -> list:
   env_params = my_env.EnvParams()
   field_fn = my_env.make_field_fn('generative', decoder_params)
-  from ble_tpu.agents import station_seeker
+  if agent_name == 'random':
+    policy = lambda state, obs, key: (state,
+                                      jax.random.randint(key, (), 0, 3))
+  else:
+    policy = lambda state, obs, key: (state, my_ss.pick_action(obs))
   eval_fn = my_eval_lib.build_eval_fn(
       env_params, field_fn,
       policy_init=lambda key: (),
-      policy_step=lambda state, obs, key: (state,
-                                           my_ss.pick_action(obs)))
+      policy_step=policy)
   suite = my_suites.get_eval_suite(suite_name)
   seeds = np.asarray(suite.seeds, np.int32)
   t0 = time.time()
@@ -210,22 +236,29 @@ def run_my_eval(suite_name: str, decoder_params) -> list:
 def main():
   p = argparse.ArgumentParser()
   p.add_argument('--suite', default='tiny_eval')
+  p.add_argument('--agent', default='station_seeker',
+                 choices=('station_seeker', 'random'))
   p.add_argument('--out', default='results/parity_report.json')
+  p.add_argument('--skip_components', action='store_true')
   p.add_argument('--skip_e2e', action='store_true')
   args = p.parse_args()
 
   report = {
       'generated_unix_s': int(time.time()),
       'suite': args.suite,
-      'components': component_metrics(),
+      'agent': args.agent,
   }
-  print(json.dumps(report['components'], indent=2))
+  if not args.skip_components:
+    report['components'] = component_metrics()
+    print(json.dumps(report['components'], indent=2))
 
   if not args.skip_e2e:
     decoder_params = loader.load_offlineskies22()
-    ref_results, ref_wall = run_reference_eval(args.suite, decoder_params)
-    my_results, my_wall = run_my_eval(args.suite, decoder_params)
-    report['e2e_station_seeker'] = {
+    ref_results, ref_wall = run_reference_eval(args.suite, decoder_params,
+                                               args.agent)
+    my_results, my_wall = run_my_eval(args.suite, decoder_params,
+                                      args.agent)
+    report[f'e2e_{args.agent}'] = {
         'wind_family': 'shared ble_tpu generative decoder',
         'reference': {
             'results': ref_results,
@@ -242,11 +275,10 @@ def main():
             'wall_s': my_wall,
         },
     }
-    print('reference mean TWR:',
-          report['e2e_station_seeker']['reference']['mean_twr'],
+    e2e = report[f'e2e_{args.agent}']
+    print(f'reference mean TWR: {e2e["reference"]["mean_twr"]} '
           f'({ref_wall:.0f}s)')
-    print('ble_tpu  mean TWR:',
-          report['e2e_station_seeker']['ble_tpu']['mean_twr'],
+    print(f'ble_tpu  mean TWR: {e2e["ble_tpu"]["mean_twr"]} '
           f'({my_wall:.0f}s)')
 
   os.makedirs(os.path.dirname(args.out), exist_ok=True)
