@@ -20,7 +20,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-NUM_ENVS = int(os.environ.get('BENCH_NUM_ENVS', '4096'))
+NUM_ENVS = int(os.environ.get('BENCH_NUM_ENVS', '16384'))
 NUM_STEPS = int(os.environ.get('BENCH_NUM_STEPS', '32'))
 BASELINE_STEPS_PER_S = 9.0
 
