@@ -1,8 +1,11 @@
-"""Headline benchmark: env-steps/s/chip at 4096 vectorized envs.
+"""Headline benchmark: env-steps/s/chip at BENCH_NUM_ENVS envs (default 16384).
 
 Measures the fully fused environment step (physics substeps + wind
 interpolation + simplex noise + GP feature construction + reward) with
-generative VAE wind fields, vmapped over 4096 envs under jit, on one chip.
+generative VAE wind fields, vmapped over BENCH_NUM_ENVS envs under jit,
+on one chip. The 16384-env default needs ~5 GB of HBM peak (2x the env
+state; see rollout() below) -- on accelerators smaller than 16 GB set
+BENCH_NUM_ENVS lower (4096 ran fine on all tested devices).
 
 Baseline: the reference runs ~9 env-steps/s on one GPU including the agent
 (docs/getting_started.rst:127-133; BASELINE.md). vs_baseline is the speedup
@@ -32,7 +35,6 @@ def main():
     num_envs = min(num_envs, 256)
 
   from ble_tpu.env import env as env_lib
-  from ble_tpu.agents import station_seeker
   from ble_tpu.generative import vae
 
   env_params = env_lib.EnvParams()
@@ -61,11 +63,14 @@ def main():
     NOT donated: the same input state is reused for every timing round,
     so peak HBM is 2x the env state (input + scan carry) instead of the
     old 3-pre-staged-copies scheme's 4x -- 32768 envs (~5 GB state) now
-    fits a 16 GB chip. `unroll` amortizes per-iteration launch overhead
-    (the step is kernel-launch-bound at 4096 envs; STATUS.md ablation).
+    fits a 16 GB chip. `unroll` amortizes per-iteration launch overhead;
+    that only matters in the launch-bound regime at small batches
+    (<=4096 envs) -- at the 16384 default the step is compute/bandwidth
+    bound and unroll is within noise (docs/benchmarks.md ablation).
     """
     def body(carry, key):
-      # Random policy (BASELINE config 3: 4096 envs, random agent).
+      # Random policy (BASELINE config 3: random agent; env count from
+      # BENCH_NUM_ENVS).
       actions = jax.random.randint(key, (num_envs,), 0, 3)
       out = env_lib.step_batched(env_params, carry, actions)
       return out.state, out.reward

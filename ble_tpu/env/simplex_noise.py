@@ -175,6 +175,54 @@ def uv_noise(x_km, y_km, pressure_pa, time_hours, seeds, offsets):
   return blend[0], blend[1]
 
 
+def uv_noise_exact(x_km, y_km, pressure_pa, time_hours, perms, offsets):
+  """`uv_noise` with bit-faithful OpenSimplex 4-D noise (parity mode).
+
+  Same harmonic structure, but each (component, harmonic) lattice is the
+  reference's seeded OpenSimplex permutation table instead of the stateless
+  hash -- with the same perm tables the reference pipeline (via the
+  opensimplex shim) and this function produce IDENTICAL noise, closing
+  SURVEY.md hard-part 2. Slower than `uv_noise` (256-candidate superset
+  sum + perm-chain gathers); the training path keeps the hash noise.
+
+  Args:
+    x_km, y_km, pressure_pa, time_hours: query coordinates, shape S.
+    perms: (2, 5, 256) int32 permutation tables from
+      `opensimplex4d.perm_from_seed` per (component, harmonic).
+    offsets: (2, 5, 4) grid translations (reference
+      simplex_wind_noise.py:108-114).
+
+  Returns:
+    (u_noise, v_noise), each of shape S.
+  """
+  from ble_tpu.env import opensimplex4d
+  # The reference's calibration constant for TRUE OpenSimplex noise
+  # (simplex_wind_noise.py:69-76), not this module's hash-noise variance.
+  magnitude = math.sqrt(TARGET_BLEND_VARIANCE / 0.0569)
+  dtype = jnp.result_type(float)
+  coords = jnp.stack(jnp.broadcast_arrays(
+      jnp.asarray(x_km, dtype), jnp.asarray(y_km, dtype),
+      jnp.asarray(pressure_pa, dtype),
+      jnp.asarray(time_hours, dtype)), axis=-1)  # S + (4,)
+  batch_ndim = coords.ndim - 1
+  sp = _UV_SPACINGS.astype(dtype).reshape((2, 5) + (1,) * batch_ndim + (4,))
+  off = jnp.asarray(offsets, dtype).reshape(
+      (2, 5) + (1,) * batch_ndim + (4,))
+  p = coords / sp + off  # (2, 5) + S + (4,)
+  perm_b = jnp.asarray(perms, jnp.int32).reshape(
+      (2, 5) + (1,) * batch_ndim + (256,))
+  noise = magnitude * opensimplex4d.noise4d(
+      perm_b, p[..., 0], p[..., 1], p[..., 2], p[..., 3])  # (2, 5) + S
+  w = _UV_WEIGHTS.astype(dtype).reshape((2, 5) + (1,) * batch_ndim)
+  total_w = jnp.sum(_UV_WEIGHTS, axis=1)  # (2,)
+  total_w2 = jnp.sum(_UV_WEIGHTS ** 2, axis=1)
+  blend = jnp.sum(noise * w, axis=1)  # (2,) + S
+  scale = (jnp.sqrt(total_w / total_w2) / total_w).astype(dtype).reshape(
+      (2,) + (1,) * batch_ndim)
+  blend = blend * scale
+  return blend[0], blend[1]
+
+
 def harmonic_noise(x_km, y_km, pressure_pa, time_hours, seeds, offsets,
                    harmonics):
   """Weighted multi-harmonic noise for one wind component.

@@ -16,8 +16,11 @@ Field samplers (VAE decode / procedural test fields) live in callers; this
 module is pure lookup math.
 """
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ble_tpu.env import simplex_noise
@@ -59,6 +62,10 @@ class WindFieldState:
   field: jnp.ndarray  # (21, 21, 10, 9, 2) FIELD_DTYPE, [u, v] in m/s.
   noise_seeds: jnp.ndarray  # (2, 5) int32: per (component, harmonic).
   noise_offsets: jnp.ndarray  # (2, 5, 4) float32 in [-1, 1].
+  # Parity mode (None on the fast path): (2, 5, 256) int32 OpenSimplex
+  # permutation tables; when present, get_noise evaluates bit-faithful
+  # OpenSimplex 4-D noise instead of the hash-lattice noise.
+  noise_perms: Optional[jnp.ndarray] = None
 
 
 def reset_noise(key: jax.Array):
@@ -69,9 +76,51 @@ def reset_noise(key: jax.Array):
   return seeds, offsets
 
 
-def make_state(field: jnp.ndarray, key: jax.Array) -> WindFieldState:
+def reset_noise_exact(noise_key: jax.Array):
+  """Reference-ordered noise reset for parity mode (host-side).
+
+  Reproduces the reference's RNG consumption EXACTLY
+  (wind_field.py:195-207 reset_wind_noise -> per-component
+  NoisyWindComponent.reset -> per-harmonic seed draw + grid translation,
+  simplex_wind_noise.py:98-114: note the SAME harmonic key is used for
+  both the seed `choice` and the `uniform` translation). The Fisher-Yates
+  permutation-table builds are inherently sequential host work, which is
+  why this is not jittable -- parity runs are 1-env host-orchestrated.
+
+  Returns:
+    (seeds (2, 5) int32, offsets (2, 5, 4) f32, perms (2, 5, 256) int32).
+  """
+  from ble_tpu.env import opensimplex4d
+  noise_u_key, noise_v_key = jax.random.split(noise_key, 2)
+  seeds = np.zeros((2, 5), np.int64)
+  offsets = np.zeros((2, 5, 4), np.float32)
+  perms = np.zeros((2, 5, 256), np.int32)
+  for c, comp_key in enumerate((noise_u_key, noise_v_key)):
+    harmonic_keys = jax.random.split(comp_key, num=5)
+    for h in range(5):
+      seed = int(jax.random.choice(harmonic_keys[h], 1634753849))
+      translation = np.asarray(
+          jax.random.uniform(harmonic_keys[h], (4,)) * 2.0 - 1.0)
+      seeds[c, h] = seed
+      offsets[c, h] = translation
+      perms[c, h] = opensimplex4d.cached_perm(seed)
+  return (jnp.asarray(seeds, jnp.int32), jnp.asarray(offsets),
+          jnp.asarray(perms))
+
+
+def make_state(field: jnp.ndarray, key: jax.Array,
+               exact_noise: bool = False,
+               field_dtype=None) -> WindFieldState:
+  """Builds a WindFieldState; `exact_noise` selects OpenSimplex parity
+  noise, `field_dtype` overrides the bf16 storage default (f32 for
+  parity/eval modes; see FIELD_DTYPE)."""
+  dtype = FIELD_DTYPE if field_dtype is None else field_dtype
+  if exact_noise:
+    seeds, offsets, perms = reset_noise_exact(key)
+    return WindFieldState(field=field.astype(dtype), noise_seeds=seeds,
+                          noise_offsets=offsets, noise_perms=perms)
   seeds, offsets = reset_noise(key)
-  return WindFieldState(field=field.astype(FIELD_DTYPE), noise_seeds=seeds,
+  return WindFieldState(field=field.astype(dtype), noise_seeds=seeds,
                         noise_offsets=offsets)
 
 
@@ -154,9 +203,14 @@ def get_forecast(state: WindFieldState, x_m, y_m, pressure_pa, elapsed_s):
 
 def get_noise(state: WindFieldState, x_m, y_m, pressure_pa, elapsed_s):
   """Simplex wind noise (u, v) [m/s] (reference wind_field.py:188-219)."""
-  x_km = jnp.asarray(x_m, jnp.float32) / 1000.0
-  y_km = jnp.asarray(y_m, jnp.float32) / 1000.0
-  t_hours = jnp.asarray(elapsed_s, jnp.float32) / 3600.0
+  ftype = jnp.result_type(float)
+  x_km = jnp.asarray(x_m, ftype) / 1000.0
+  y_km = jnp.asarray(y_m, ftype) / 1000.0
+  t_hours = jnp.asarray(elapsed_s, ftype) / 3600.0
+  if state.noise_perms is not None:  # Parity mode (trace-time dispatch).
+    return simplex_noise.uv_noise_exact(x_km, y_km, pressure_pa, t_hours,
+                                        state.noise_perms,
+                                        state.noise_offsets)
   return simplex_noise.uv_noise(x_km, y_km, pressure_pa, t_hours,
                                 state.noise_seeds, state.noise_offsets)
 

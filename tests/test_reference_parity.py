@@ -18,9 +18,11 @@ BOTH implementations on pinned inputs:
   * sampling: reference utils/sampling.py distributions vs ble_tpu's
     vectorized samplers, same keys.
 
-The noise comparison is STATISTICAL (the opensimplex shim substitutes
-ble_tpu's simplex noise, variance-matched; see
-ble_tpu/compat/shims/opensimplex.py).
+Noise: the opensimplex shim is a from-scratch OpenSimplex 4-D
+implementation (ble_tpu/env/opensimplex4d.py), and ble_tpu's parity noise
+mode (wind_field.reset_noise_exact + noise_perms) reproduces the reference
+pipeline's noise bit-for-bit from the same PRNG key -- tested below both
+point-wise and statistically.
 
 Skipped wholesale when /root/reference is absent.
 """
@@ -298,6 +300,45 @@ class TestForecastInterpolation:
     # ble_tpu stores the grid in bfloat16 (HBM bandwidth); tolerance is
     # bf16 resolution on ~6 m/s winds.
     assert max_err < 0.15, max_err
+
+
+class TestExactNoiseParity:
+  """ble_tpu parity noise == the reference pipeline, same PRNG key.
+
+  This is SURVEY.md hard-part 2 (OpenSimplex noise parity): the reference
+  SimplexWindNoise stack (NoisyWindComponent x2, NoisyWindHarmonic x5,
+  seed draw at simplex_wind_noise.py:102, translations at :112) runs on
+  the opensimplex shim, while ble_tpu evaluates uv_noise_exact from
+  perm tables built by reset_noise_exact out of the SAME key."""
+
+  def test_noise_bit_parity_from_same_key(self):
+    key = jax.random.PRNGKey(33)
+    ref_noise = ref_wf.SimplexWindNoise()
+    ref_noise.reset_wind_noise(key, dtm.datetime(2021, 6, 1, tzinfo=_UTC))
+
+    seeds, offsets, perms = my_wf.reset_noise_exact(key)
+    state = my_wf.WindFieldState(
+        field=jnp.zeros(my_wf.GRID_SHAPE, my_wf.FIELD_DTYPE),
+        noise_seeds=seeds, noise_offsets=offsets, noise_perms=perms)
+
+    rng = np.random.default_rng(44)
+    max_err = 0.0
+    for _ in range(40):
+      x_km = float(rng.uniform(-3000, 3000))
+      y_km = float(rng.uniform(-3000, 3000))
+      p = float(rng.uniform(5000, 14000))
+      t_h = float(rng.uniform(0, 240))
+      wv = ref_noise.get_wind_noise(
+          ref_units.Distance(km=x_km), ref_units.Distance(km=y_km), p,
+          dtm.timedelta(hours=t_h))
+      mu, mv = my_wf.get_noise(state, jnp.float32(x_km * 1000.0),
+                               jnp.float32(y_km * 1000.0), jnp.float32(p),
+                               jnp.float32(t_h * 3600.0))
+      max_err = max(max_err, abs(wv.u.meters_per_second - float(mu)),
+                    abs(wv.v.meters_per_second - float(mv)))
+    # f32 (device) vs f64 (reference) evaluation of the SAME algorithm
+    # on the SAME lattices; the residual is pure rounding.
+    assert max_err < 5e-5, max_err
 
 
 class TestNoiseStatistics:
