@@ -159,6 +159,21 @@ def reset_from_field(key: jax.Array, params: EnvParams, field: jnp.ndarray):
   pressure = sampling.sample_pressure(pressure_key, atmosphere)
   upwelling_ir = sampling.sample_upwelling_infrared(ir_key)
 
+  noise_key, _forecast_key = jax.random.split(wind_key)
+  field = field.astype(wind_field_lib.FIELD_DTYPE)
+  seeds, offsets = wind_field_lib.reset_noise(noise_key)
+  wind = wind_field_lib.WindFieldState(field=field, noise_seeds=seeds,
+                                       noise_offsets=offsets)
+  return init_state(params, atmosphere, t0, x_m, y_m, center_lat,
+                    center_lng, pressure, upwelling_ir, wind)
+
+
+def init_state(params: EnvParams, atmosphere, t0, x_m, y_m, center_lat,
+               center_lng, pressure, upwelling_ir,
+               wind: wind_field_lib.WindFieldState):
+  """Builds the initial EnvState from sampled initial conditions
+  (the stable-init + sunrise/sunset + first-observation tail of
+  reference balloon_arena.py:161-182,259-268)."""
   balloon = balloon_lib.BalloonState(
       center_lat_rad=center_lat,
       center_lng_rad=center_lng,
@@ -196,12 +211,6 @@ def reset_from_field(key: jax.Array, params: EnvParams, field: jnp.ndarray):
       navigation_is_paused=jnp.bool_(False),
       sunrise_with_hysteresis_s=sunrise + safety.POWER_SUNRISE_HYSTERESIS_S,
       sunset_s=sunset))
-
-  noise_key, _forecast_key = jax.random.split(wind_key)
-  field = field.astype(wind_field_lib.FIELD_DTYPE)
-  seeds, offsets = wind_field_lib.reset_noise(noise_key)
-  wind = wind_field_lib.WindFieldState(field=field, noise_seeds=seeds,
-                                       noise_offsets=offsets)
 
   wind_u, wind_v = wind_field_lib.get_ground_truth(wind, balloon.x_m,
                                                    balloon.y_m,

@@ -462,6 +462,111 @@ class TestFeatures:
     assert float(np.mean(diff[16:])) < 0.01
 
 
+class TestFixedSeedEpisodeParity:
+  """Full-episode closed-loop parity: the BASELINE north-star.
+
+  Same integer seed -> both runtimes independently reset (reference
+  balloon_env.seed/reset vs ble_tpu parity_reset reproducing the exact
+  RNG split tree) and run StationSeeker CLOSED LOOP, each side stepping
+  on its OWN agent's actions. Asserts per-step action agreement and
+  bounded state divergence across 960 steps (2 simulated days) --
+  covering arena reset, physics, safety layers, wind interpolation,
+  exact OpenSimplex noise, GP features, and the policy."""
+
+  def _run_lockstep(self, seed, ref_field_factory, my_field_fn,
+                    num_steps):
+    from balloon_learning_environment.env import (
+        balloon_env as ref_env_lib)
+    from ble_tpu.env import env as my_env_lib
+    from ble_tpu.env import parity_reset
+
+    env = ref_env_lib.BalloonEnv(wind_field_factory=ref_field_factory)
+    env.seed(seed)
+    ref_obs = env.reset()
+    ref_agent = ref_ss.StationSeekerAgent(3, (1099,))
+
+    env_params = my_env_lib.EnvParams()
+    state, my_obs = parity_reset.parity_reset(seed, env_params,
+                                              field_fn=my_field_fn)
+    step_fn = jax.jit(lambda s, a: my_env_lib.step(env_params, s, a))
+
+    ra = ref_agent.begin_episode(ref_obs)
+    n_agree = 0
+    max_dx = max_dp = 0.0
+    ref_twr = my_twr = 0.0
+    for t in range(num_steps):
+      ma = int(my_ss.pick_action(my_obs))
+      n_agree += int(ma == ra)
+      ref_obs, rr, rdone, _ = env.step(ra)
+      out = step_fn(state, jnp.int32(ma))
+      state, my_obs = out.state, out.observation
+      bs = env.arena.get_balloon_state()
+      ref_twr += float(np.hypot(bs.x.km, bs.y.km) <= 50.0)
+      my_twr += float(np.hypot(float(state.balloon.x_m),
+                               float(state.balloon.y_m)) / 1e3 <= 50.0)
+      max_dx = max(max_dx, abs(bs.x.meters - float(state.balloon.x_m)),
+                   abs(bs.y.meters - float(state.balloon.y_m)))
+      max_dp = max(max_dp,
+                   abs(bs.pressure - float(state.balloon.pressure_pa)))
+      ra = ref_agent.step(rr, ref_obs)
+      if rdone:
+        break
+    steps = t + 1
+    return dict(steps=steps, n_agree=n_agree, max_dx=max_dx, max_dp=max_dp,
+                ref_twr=ref_twr / steps, my_twr=my_twr / steps)
+
+  def test_lockstep_pinned_grid(self):
+    """240 steps on an injected grid with exact OpenSimplex noise."""
+    field = _pinned_grid()
+    r = self._run_lockstep(
+        seed=0,
+        ref_field_factory=lambda: ref_gbwf.GridBasedWindField(
+            _ConstSampler(field)),
+        my_field_fn=lambda key: jnp.asarray(field),
+        num_steps=240)
+    assert r['n_agree'] == r['steps'], r
+    assert r['max_dx'] < 20.0, r  # meters, over 12 simulated hours
+    assert r['max_dp'] < 5.0, r
+
+  @pytest.mark.slow
+  def test_lockstep_generative_full_episode(self):
+    """micro_eval fixed-seed parity: seed 0, generative winds, 960 steps.
+
+    The forecast grid is decoded FROM THE SEED on both sides: the
+    reference via its own vae.Decoder (generative_wind_field.py:52-62
+    sans the unavailable msgpack blob -- ble_tpu's loader params are
+    bit-compatible with the reference Decoder, tests/test_model_converters)
+    and ble_tpu via parity_reset's forecast key."""
+    from ble_tpu.models import loader
+    from ble_tpu.generative import vae as my_vae
+    decoder_params = loader.load_offlineskies22()
+
+    class _RefVaeSampler(
+        ref_gbwf.grid_wind_field_sampler.GridWindFieldSampler):
+
+      @property
+      def field_shape(self):
+        return ref_vae.FieldShape()
+
+      def sample_field(self, key, date_time):
+        del date_time
+        latents = jax.random.normal(key, shape=(64,))
+        return np.asarray(ref_vae.Decoder().apply(decoder_params, latents))
+
+    r = self._run_lockstep(
+        seed=0,
+        ref_field_factory=lambda: ref_gbwf.GridBasedWindField(
+            _RefVaeSampler()),
+        my_field_fn=lambda key: my_vae.sample_field(decoder_params, key),
+        num_steps=960)
+    assert r['steps'] == 960, r
+    assert r['n_agree'] == 960, r
+    assert r['max_dx'] < 50.0, r  # meters, over 2 simulated days
+    assert r['max_dp'] < 10.0, r
+    assert abs(r['ref_twr'] - r['my_twr']) < 1e-6, r
+    assert r['ref_twr'] > 0.5, r  # Non-degenerate episode (seed 0 ~0.61).
+
+
 class TestStationSeeker:
 
   def test_same_action_on_same_features(self):
