@@ -45,6 +45,10 @@ class R2d2Config:
   # LSTM state (no loss), leaving seq_len - burn_in trainable steps.
   seq_len: int = 24
   burn_in: int = 8
+  # Sequence-priority mix: eta*max_t + (1-eta)*mean_t of the per-step
+  # losses (the R2D2 recipe; Kapturowski et al. 2019, and the reference's
+  # Acme R2D2 variant at acme_utils.py:100-157).
+  priority_eta: float = 0.9
 
 
 @struct.dataclass
@@ -173,8 +177,12 @@ def sequence_loss(config: R2d2Config, params, target_params,
       'loss': loss,
       'mean_q': jnp.mean(q_online),
       'valid_frac': jnp.mean((w > 0).astype(jnp.float32)),
-      # Sequence priority (R2D2 uses eta*max + (1-eta)*mean of abs TD).
+      # Sequence priority: eta*max + (1-eta)*mean of the per-step losses
+      # over the trainable (post-burn-in) window -- the R2D2 recipe.
       'per_sample_loss': jax.lax.stop_gradient(
+          config.priority_eta * jnp.max(
+              jnp.where(w > 0, per_step, 0.0), axis=1) +
+          (1.0 - config.priority_eta) *
           jnp.sum(jnp.where(w > 0, per_step, 0.0), axis=1) /
           jnp.maximum(jnp.sum(w > 0, axis=1), 1.0)),
   }

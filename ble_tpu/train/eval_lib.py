@@ -80,7 +80,8 @@ def build_eval_fn(env_params: env_lib.EnvParams,
                   max_steps: int = 960,
                   record_flight_path: bool = False,
                   mesh=None,
-                  _parametric: bool = False):
+                  _parametric: bool = False,
+                  from_states: bool = False):
   """Returns a jitted function evaluating a batch of seeds.
 
   Args:
@@ -95,9 +96,14 @@ def build_eval_fn(env_params: env_lib.EnvParams,
       every env) is sharded across its devices — the multi-chip version
       of the reference's --num_shards seed slicing (eval/eval.py:125-128),
       with no result merging step.
+    from_states: the returned function takes (seeds, env_states, obs) with
+      pre-built per-seed initial states (e.g. parity_reset's
+      reference-ordered worlds for PAIRED reference comparisons) instead
+      of resetting internally; seeds then only derive policy keys.
 
   Returns:
-    eval_fn(seeds: int32 (B,)) -> dict of result arrays.
+    eval_fn(seeds: int32 (B,)) -> dict of result arrays (or
+    eval_fn(seeds, env_states, obs) when `from_states`).
   """
   reset = functools.partial(env_lib.reset, params=env_params,
                             field_fn=field_fn)
@@ -110,9 +116,10 @@ def build_eval_fn(env_params: env_lib.EnvParams,
     pinit = lambda params, key: policy_init(key)
     pstep = lambda params, state, obs, key: policy_step(state, obs, key)
 
-  def single(params, seed):
+  def single(params, seed, env_state=None, obs=None):
     key = seed_to_key(seed)
-    env_state, obs = reset(key)
+    if not from_states:
+      env_state, obs = reset(key)
     pkey, akey = jax.random.split(jax.random.fold_in(key, 1))
     pstate = pinit(params, pkey)
     pstate, action = pstep(params, pstate, obs, akey)
@@ -203,6 +210,12 @@ def build_eval_fn(env_params: env_lib.EnvParams,
     if record_flight_path:
       result['flight_path'] = paths
     return result
+
+  if from_states:
+    batched_s = jax.vmap(single, in_axes=(None, 0, 0, 0))
+    if _parametric:
+      return jax.jit(batched_s)
+    return jax.jit(functools.partial(batched_s, None))
 
   batched = jax.vmap(single, in_axes=(None, 0))
   if _parametric:

@@ -343,6 +343,35 @@ def test_r2d2_sequence_loss_reduces():
   assert float(metrics['valid_frac']) == pytest.approx(4.0 / 6.0)
 
 
+def test_r2d2_sequence_priority_eta_mix():
+  """Sequence priorities follow the R2D2 recipe eta*max + (1-eta)*mean
+  of the per-step losses (reference Acme R2D2 variant,
+  acme_utils.py:100-157)."""
+  from ble_tpu.agents import r2d2 as r2d2_lib
+  rng = np.random.RandomState(1)
+  batch = {
+      'obs': jnp.asarray(rng.randn(8, 7, 5), jnp.float32),
+      'action': jnp.asarray(rng.randint(0, 3, (8, 7))),
+      'reward': jnp.asarray(rng.rand(8, 7), jnp.float32),
+      'terminal': jnp.zeros((8, 7), jnp.bool_),
+      'step_weight': jnp.ones((8, 6)),
+  }
+
+  def priorities(eta):
+    cfg = r2d2_lib.R2d2Config(hidden_units=24, lstm_units=16, num_atoms=7,
+                              seq_len=6, burn_in=2, priority_eta=eta)
+    state = r2d2_lib.init(jax.random.PRNGKey(0), cfg, obs_dim=5)
+    _, metrics = r2d2_lib.sequence_loss(cfg, state.params,
+                                        state.target_params, batch)
+    return np.asarray(metrics['per_sample_loss'])
+
+  p_mean, p_max, p_mix = priorities(0.0), priorities(1.0), priorities(0.9)
+  # max >= mean per sequence, and the mix interpolates exactly.
+  assert (p_max >= p_mean - 1e-6).all()
+  assert (p_max > p_mean + 1e-6).any()
+  np.testing.assert_allclose(p_mix, 0.9 * p_max + 0.1 * p_mean, rtol=2e-4)
+
+
 @pytest.mark.slow
 def test_r2d2_harness_end_to_end():
   """r2d2 trains through the generic harness with recurrent actor state."""
