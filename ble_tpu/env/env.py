@@ -47,6 +47,11 @@ class EnvParams:
   station_keeping_radius_km: float = 50.0
   reward_dropoff: float = 0.4
   reward_halflife_km: float = 100.0
+  # Store the forecast grid in f32 instead of the bf16 training default
+  # (parity/eval mode; measured StationSeeker action-flip rate between
+  # the two is in docs/benchmarks.md). Static: selects dtypes at trace
+  # time.
+  wind_field_f32: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -160,7 +165,8 @@ def reset_from_field(key: jax.Array, params: EnvParams, field: jnp.ndarray):
   upwelling_ir = sampling.sample_upwelling_infrared(ir_key)
 
   noise_key, _forecast_key = jax.random.split(wind_key)
-  field = field.astype(wind_field_lib.FIELD_DTYPE)
+  field = field.astype(jnp.float32 if params.wind_field_f32
+                       else wind_field_lib.FIELD_DTYPE)
   seeds, offsets = wind_field_lib.reset_noise(noise_key)
   wind = wind_field_lib.WindFieldState(field=field, noise_seeds=seeds,
                                        noise_offsets=offsets)

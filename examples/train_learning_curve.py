@@ -88,22 +88,26 @@ def main():
 
   eval_seeds = jnp.arange(args.eval_seeds, dtype=jnp.int32)
 
-  # StationSeeker reference line on the same suite.
-  ss_eval = eval_lib.build_eval_fn(
-      env_params, field_fn, lambda key: (),
-      lambda state, obs, key: (state, station_seeker.pick_action(obs)),
-      max_steps=args.eval_max_steps)
-  t0 = time.perf_counter()
-  ss = jax.tree.map(np.asarray, ss_eval(eval_seeds))
-  baseline = {
-      'station_seeker_mean_twr': float(ss['time_within_radius'].mean()),
-      'station_seeker_mean_reward': float(ss['cumulative_reward'].mean()),
-      'eval_wall_s': round(time.perf_counter() - t0, 1),
-      'num_eval_seeds': args.eval_seeds,
-  }
-  with open(curve_path, 'a') as f:
-    f.write(json.dumps({'baseline': baseline}) + '\n')
-  print('baseline:', baseline, flush=True)
+  # StationSeeker reference line on the same suite (computed once; restarts
+  # of a resumable run skip it).
+  have_baseline = (os.path.exists(curve_path) and
+                   '"baseline"' in open(curve_path).read())
+  if not have_baseline:
+    ss_eval = eval_lib.build_eval_fn(
+        env_params, field_fn, lambda key: (),
+        lambda state, obs, key: (state, station_seeker.pick_action(obs)),
+        max_steps=args.eval_max_steps)
+    t0 = time.perf_counter()
+    ss = jax.tree.map(np.asarray, ss_eval(eval_seeds))
+    baseline = {
+        'station_seeker_mean_twr': float(ss['time_within_radius'].mean()),
+        'station_seeker_mean_reward': float(ss['cumulative_reward'].mean()),
+        'eval_wall_s': round(time.perf_counter() - t0, 1),
+        'num_eval_seeds': args.eval_seeds,
+    }
+    with open(curve_path, 'a') as f:
+      f.write(json.dumps({'baseline': baseline}) + '\n')
+    print('baseline:', baseline, flush=True)
 
   ts = learner_lib.init_train_state(jax.random.PRNGKey(args.seed), env_params,
                                     field_fn, config)
@@ -111,16 +115,23 @@ def main():
   ts, latest = train_lib.restore_latest_checkpoint(args.out, ts)
   start_iteration = latest + 1
 
+  # Donate the TrainState: it embeds the replay ring (num_envs x ring_len
+  # x 1099 obs floats -- multiple GB), and without donation jit keeps the
+  # input AND output copies live, doubling peak HBM (observed OOM at 2048
+  # envs on a 16 GB chip). The caller rebinds `ts` at every call.
   chunk_fns = {}
   def get_chunk(n):
     if n not in chunk_fns:
-      chunk_fns[n] = jax.jit(functools.partial(
-          learner_lib.run_episode_chunk, config, env_params, num_steps=n))
+      chunk_fns[n] = jax.jit(
+          functools.partial(learner_lib.run_episode_chunk, config,
+                            env_params, num_steps=n),
+          donate_argnums=0)
     return chunk_fns[n]
 
   decode_fields = jax.jit(jax.vmap(field_fn))
   reset_fn = jax.jit(functools.partial(
-      learner_lib.selective_reset, env_params=env_params, config=config))
+      learner_lib.selective_reset, env_params=env_params, config=config),
+      donate_argnums=0)
   field_key = jax.random.PRNGKey(args.seed ^ 0x0F1E2D3C)
 
   if core.actor_select is not None:  # Recurrent (r2d2).

@@ -378,7 +378,15 @@ class TestNoiseStatistics:
 
 class TestFeatures:
 
-  def test_feature_vector_parity(self):
+  # (grid dtype, wind-column max-|delta| tolerance): the bf16 row bounds
+  # the TRAINING path (grid storage error dominates); the f32 row is the
+  # parity/eval mode (EnvParams.wind_field_f32) where the residual is
+  # pure GP + accumulation rounding -- 1000x tighter.
+  @pytest.mark.parametrize('field_dtype,col_tol,col_mean_tol',
+                           [(None, 0.12, 0.01),
+                            (jnp.float32, 1e-4, 1e-5)],
+                           ids=['bf16_training', 'f32_parity'])
+  def test_feature_vector_parity(self, field_dtype, col_tol, col_mean_tol):
     key = jax.random.PRNGKey(0)
     ref_bs, ref_a = _pinned_ref_state(key)
     params, state = mapping.ref_balloon_state_to_mine(ref_bs)
@@ -386,7 +394,8 @@ class TestFeatures:
 
     field = _pinned_grid()
     ref_field = _ref_grid_field(field)
-    mine_wf = my_wf.make_state(jnp.asarray(field), jax.random.PRNGKey(12))
+    mine_wf = my_wf.make_state(jnp.asarray(field), jax.random.PRNGKey(12),
+                               field_dtype=field_dtype)
 
     ref_fc = ref_features.PerciatelliFeatureConstructor(ref_field, ref_a)
     gp_state = my_gp.init()
@@ -454,12 +463,13 @@ class TestFeatures:
 
     assert my_vec.shape == ref_vec.shape == (1099,)
     diff = np.abs(my_vec - ref_vec)
-    # Ambient features (16): tight.
+    # Ambient features (16): limited by the 4-min sunrise/sunset
+    # tolerance feeding the solar-cycle features.
     assert diff[:16].max() < 2e-2, np.argmax(diff[:16])
-    # Wind column (1083): GP + bf16 forecast tolerances.
-    assert diff[16:].max() < 0.12, (
+    # Wind column (1083): grid-dtype dependent (see parametrize).
+    assert diff[16:].max() < col_tol, (
         diff[16:].max(), 16 + int(np.argmax(diff[16:])))
-    assert float(np.mean(diff[16:])) < 0.01
+    assert float(np.mean(diff[16:])) < col_mean_tol
 
 
 class TestFixedSeedEpisodeParity:
