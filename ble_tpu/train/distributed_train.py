@@ -17,13 +17,6 @@ import argparse
 import time
 
 import jax
-import numpy as np
-
-from ble_tpu import config as config_lib
-from ble_tpu.env import env as env_lib
-from ble_tpu.parallel import distributed
-from ble_tpu.train import learner as learner_lib
-from ble_tpu.train import train_lib
 
 
 def main():
@@ -37,12 +30,33 @@ def main():
   parser.add_argument('--n_devices', type=int, default=None)
   parser.add_argument('--multihost', action='store_true',
                       help='Call jax.distributed.initialize() first.')
+  parser.add_argument('--coordinator_address', type=str, default=None,
+                      help='host:port of process 0 (multihost). Omit on '
+                      'clusters jax auto-detects (SLURM/TPU pods).')
+  parser.add_argument('--num_processes', type=int, default=None)
+  parser.add_argument('--process_id', type=int, default=None)
   parser.add_argument('--seed', type=int, default=0)
   parser.add_argument('--set', action='append', default=[])
   args = parser.parse_args()
 
   if args.multihost:
-    jax.distributed.initialize()
+    # Must run before ANY XLA-backend-initializing call -- including the
+    # ble_tpu imports below, whose module-level jnp constant tables touch
+    # the backend. Topology comes from the flags, or from cluster
+    # auto-detection when they are omitted (tests/test_two_host_dcn.py
+    # runs this two-process on CPU).
+    jax.distributed.initialize(
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes,
+        process_id=args.process_id)
+
+  # Deferred so `--multihost` initializes first (see above).
+  import numpy as np
+  from ble_tpu import config as config_lib
+  from ble_tpu.env import env as env_lib
+  from ble_tpu.parallel import distributed
+  from ble_tpu.train import learner as learner_lib
+  from ble_tpu.train import train_lib
 
   config = learner_lib.TrainConfig()
   config = config_lib.apply_overrides(config, args.set)

@@ -60,6 +60,10 @@ def main():
   p.add_argument('--max_hours', type=float, default=0.0,
                  help='Stop after this many wall-clock hours (0 = no cap).')
   p.add_argument('--agent', type=str, default='quantile')
+  p.add_argument('--donate', action='store_true',
+                 help='Donate the TrainState through the chunk/reset jits '
+                 '(halves peak HBM; unsupported over the remote-TPU '
+                 'tunnel).')
   p.add_argument('--set', action='append', default=[],
                  help='TrainConfig override, e.g. replay.batch_size=512')
   args = p.parse_args()
@@ -115,23 +119,26 @@ def main():
   ts, latest = train_lib.restore_latest_checkpoint(args.out, ts)
   start_iteration = latest + 1
 
-  # Donate the TrainState: it embeds the replay ring (num_envs x ring_len
-  # x 1099 obs floats -- multiple GB), and without donation jit keeps the
-  # input AND output copies live, doubling peak HBM (observed OOM at 2048
-  # envs on a 16 GB chip). The caller rebinds `ts` at every call.
+  # Donating the TrainState halves peak HBM (it embeds the replay ring --
+  # num_envs x ring_len x 1099 obs floats, multiple GB -- and without
+  # donation jit keeps input AND output copies live: observed OOM at 2048
+  # envs on a 16 GB chip). Opt-in: the remote-TPU tunnel used in this
+  # container rejects donated-buffer programs (INVALID_ARGUMENT on the
+  # next output fetch); on directly-attached TPUs pass --donate.
+  donate = (0,) if args.donate else ()
   chunk_fns = {}
   def get_chunk(n):
     if n not in chunk_fns:
       chunk_fns[n] = jax.jit(
           functools.partial(learner_lib.run_episode_chunk, config,
                             env_params, num_steps=n),
-          donate_argnums=0)
+          donate_argnums=donate)
     return chunk_fns[n]
 
   decode_fields = jax.jit(jax.vmap(field_fn))
   reset_fn = jax.jit(functools.partial(
       learner_lib.selective_reset, env_params=env_params, config=config),
-      donate_argnums=0)
+      donate_argnums=donate)
   field_key = jax.random.PRNGKey(args.seed ^ 0x0F1E2D3C)
 
   if core.actor_select is not None:  # Recurrent (r2d2).

@@ -90,6 +90,7 @@ def test_moves_with_wind():
   assert int(stepped.time_s) - int(state.time_s) == 180
 
 
+@pytest.mark.slow
 def test_down_increases_pressure_up_decreases():
   params, atmo, state = _make_balloon()
   p0 = float(state.pressure_pa)

@@ -14,6 +14,7 @@ from ble_tpu.train import learner as learner_lib
 from ble_tpu.train import train_lib
 
 
+@pytest.mark.slow
 def test_step_batched_matches_vmapped_step():
   params = env_lib.EnvParams()
   field_fn = env_lib.make_field_fn('static')
@@ -66,6 +67,7 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
                              np.asarray(m2['reward']), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_restore_without_checkpoint_returns_template(tmp_path):
   config = learner_lib.TrainConfig(
       num_envs=1,

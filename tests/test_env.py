@@ -149,6 +149,7 @@ def test_feature_column_centered_on_balloon(setup):
   assert 0 <= src_lo <= src_hi <= 180
 
 
+@pytest.mark.slow
 def test_vmap_env(setup):
   params, _, _ = setup
   field_fn = env_lib.make_field_fn('static')
@@ -167,6 +168,7 @@ def test_vmap_env(setup):
   assert len(set(np.asarray(states.balloon.x_m).tolist())) == 4
 
 
+@pytest.mark.slow
 def test_generative_field_env():
   from ble_tpu.generative import vae
   decoder_params = vae.init_decoder_params(jax.random.PRNGKey(0))

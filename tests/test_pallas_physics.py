@@ -76,6 +76,7 @@ def test_fused_frozen_after_terminal():
   assert float(out.x_m[1]) != float(balloon.x_m[1])  # Advected.
 
 
+@pytest.mark.slow
 def test_layer_seam_state_stays_finite():
   """Regression: a balloon oscillating at the 17 km atmosphere layer seam.
 

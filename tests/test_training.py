@@ -91,6 +91,7 @@ def test_qrdqn_learner_reduces_loss():
   assert int(state.train_steps) == 60
 
 
+@pytest.mark.slow
 def test_qrdqn_target_sync():
   cfg = _small_qrdqn(target_update_period=2)
   state = qrdqn.init(jax.random.PRNGKey(0), cfg, obs_dim=4)

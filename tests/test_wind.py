@@ -2,6 +2,7 @@
 statistics, and VAE decoder shape/incompressibility."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import scipy.interpolate
@@ -167,6 +168,7 @@ def test_wind_gp_empty():
   assert float(devs[0]) == 0.0
 
 
+@pytest.mark.slow
 def test_wind_gp_vmap():
   state = jax.vmap(lambda _: wind_gp.init())(jnp.arange(3))
   obs = jax.vmap(wind_gp.observe, in_axes=(0, 0, None, None, None, None,
