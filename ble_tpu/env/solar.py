@@ -162,9 +162,13 @@ def solar_power(el_deg, pressure_pa):
 def next_sunrise_sunset(lat_rad, lng_rad, time_s, num_steps: int = 482):
   """Next sunrise and sunset times after `time_s` (int32 unix seconds).
 
-  Scans solar elevation over the next ~24 h at 3-minute resolution and finds
-  the first upward / downward crossings of MIN_SOLAR_EL_DEG. Inputs may have
-  a leading batch shape; the scan axis is appended internally.
+  Scans solar elevation over the next ~24 h at 3-minute resolution, finds
+  the first upward / downward crossings of MIN_SOLAR_EL_DEG, then refines
+  each crossing inside its bracket with a linear-interpolation root plus
+  one secant step (elevation is smooth and nearly linear over 3 min, so
+  this lands within seconds of the true crossing — the reference instead
+  bisects lazily to 1-minute precision, solar.py:258-483). Inputs may
+  have a leading batch shape; the scan axis is appended internally.
 
   Returns:
     (sunrise_s, sunset_s): int32 arrays, each strictly after `time_s`
@@ -188,10 +192,28 @@ def next_sunrise_sunset(lat_rad, lng_rad, time_s, num_steps: int = 482):
   rise_cross = jnp.logical_and(is_day, jnp.logical_not(prev_day))
   set_cross = jnp.logical_and(jnp.logical_not(is_day), prev_day)
 
+  el_prev = jnp.concatenate([el_now[..., None], el[..., :-1]], axis=-1)
+
   def first_time(cross):
     any_cross = jnp.any(cross, axis=-1)
-    idx = jnp.argmax(cross, axis=-1)
-    t = jnp.take_along_axis(grid_t, idx[..., None], axis=-1)[..., 0]
+    idx = jnp.argmax(cross, axis=-1)[..., None]
+    # All interpolation happens in OFFSET space (seconds since time_s):
+    # absolute unix times overflow f32 resolution (~128 s at 1.6e9).
+    t1_off = ((idx[..., 0] + 1) * SEARCH_STEP_SECONDS).astype(jnp.float32)
+    t0_off = t1_off - SEARCH_STEP_SECONDS
+    e1 = jnp.take_along_axis(el, idx, axis=-1)[..., 0]
+    e0 = jnp.take_along_axis(el_prev, idx, axis=-1)[..., 0]
+    # Linear root in the bracket, then one secant update with a fresh
+    # elevation evaluation at the interpolated point.
+    denom = jnp.where(jnp.abs(e1 - e0) < 1e-9, 1e-9, e1 - e0)
+    lin_off = t0_off + (MIN_SOLAR_EL_DEG - e0) / denom * (t1_off - t0_off)
+    t_lin = time_s + jnp.round(lin_off).astype(jnp.int32)
+    e_lin, _, _ = solar_calculator(lat_rad, lng_rad, t_lin)
+    denom2 = jnp.where(jnp.abs(e1 - e_lin) < 1e-9, 1e-9, e1 - e_lin)
+    ref_off = lin_off + ((MIN_SOLAR_EL_DEG - e_lin) / denom2 *
+                         (t1_off - lin_off))
+    ref_off = jnp.clip(ref_off, t0_off, t1_off)
+    t = time_s + jnp.round(ref_off).astype(jnp.int32)
     # No crossing within the window (polar day/night): fall back to +24 h.
     return jnp.where(any_cross, t, time_s + 86400)
 

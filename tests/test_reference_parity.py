@@ -132,10 +132,32 @@ class TestSolar:
     ms_rise, ms_set = my_solar.next_sunrise_sunset(
         jnp.float32(np.radians(5.3)), jnp.float32(np.radians(-75.0)),
         jnp.int32(mapping.dt_to_unix_s(t)))
-    # The reference bisects to 1-minute precision; ours scans at 3-minute
-    # resolution with interpolation. Allow 4 minutes.
+    # The reference's symmetric binary search (solar.py:296-375) carries a
+    # bias of up to ~14 min in the env's latitude band (its returned times
+    # sit up to 3.6 deg off the -4.242 deg threshold; measured). Ours
+    # refines the crossing to ~seconds, so the comparison tolerance here
+    # reflects the REFERENCE's accuracy, not ours.
     assert abs(mapping.dt_to_unix_s(sunrise) - int(ms_rise)) <= 240
     assert abs(mapping.dt_to_unix_s(sunset) - int(ms_set)) <= 240
+
+  def test_sunrise_sunset_on_threshold(self):
+    """Our returned times actually sit on the MIN_SOLAR_EL_DEG crossing
+    (evaluated through the REFERENCE's solar calculator)."""
+    rng = np.random.default_rng(3)
+    for _ in range(6):
+      lat = float(rng.uniform(-15, 15))
+      lng = float(rng.uniform(-175, 175))
+      t = dtm.datetime(2021, int(rng.integers(1, 13)),
+                       int(rng.integers(1, 28)), int(rng.integers(0, 24)),
+                       int(rng.integers(0, 60)), tzinfo=_UTC)
+      ms_rise, ms_set = my_solar.next_sunrise_sunset(
+          jnp.float32(np.radians(lat)), jnp.float32(np.radians(lng)),
+          jnp.int32(mapping.dt_to_unix_s(t)))
+      latlng = s2.LatLng.from_degrees(lat, lng)
+      for ts in (int(ms_rise), int(ms_set)):
+        el, _, _ = ref_solar.solar_calculator(
+            latlng, dtm.datetime.fromtimestamp(ts, _UTC))
+        assert abs(el - ref_solar.MIN_SOLAR_EL_DEG) < 0.02, (lat, lng, el)
 
   def test_solar_power(self):
     for el in [-1.0, 3.0, 15.0, 48.0, 89.0]:

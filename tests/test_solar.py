@@ -77,14 +77,17 @@ def test_sunrise_sunset_bracket_crossing():
   assert t < sunrise < t + 86400 + 3600
   assert t < sunset < t + 86400 + 3600
 
-  # Elevation straddles the threshold at each event (3-minute resolution).
+  # Each event sits ON the threshold (sub-grid secant refinement) and the
+  # elevation straddles it across the surrounding 3-minute bracket.
   for event, rising in [(sunrise, True), (sunset, False)]:
+    el_at, _, _ = solar.solar_calculator(lat, lng, event)
+    assert abs(float(el_at) - solar.MIN_SOLAR_EL_DEG) < 0.02
     el_before, _, _ = solar.solar_calculator(lat, lng, event - 180)
-    el_after, _, _ = solar.solar_calculator(lat, lng, event)
+    el_after, _, _ = solar.solar_calculator(lat, lng, event + 180)
     if rising:
-      assert float(el_before) < solar.MIN_SOLAR_EL_DEG <= float(el_after)
+      assert float(el_before) < solar.MIN_SOLAR_EL_DEG < float(el_after)
     else:
-      assert float(el_before) >= solar.MIN_SOLAR_EL_DEG > float(el_after)
+      assert float(el_before) > solar.MIN_SOLAR_EL_DEG > float(el_after)
 
 
 def test_sunrise_sunset_batched():
