@@ -49,6 +49,11 @@ class R2d2Config:
   # losses (the R2D2 recipe; Kapturowski et al. 2019, and the reference's
   # Acme R2D2 variant at acme_utils.py:100-157).
   priority_eta: float = 0.9
+  # Stored-state replay: initialize the learner unroll from the actor's
+  # recurrent carry recorded WITH each transition (R2D2's best-performing
+  # variant) instead of zeros; burn-in then recovers from staleness
+  # rather than from nothing. Costs 2*lstm_units f32 per replay slot.
+  stored_state: bool = False
 
 
 @struct.dataclass
@@ -90,6 +95,17 @@ def actor_init(config: R2d2Config, batch_shape):
   return make_network(config).initial_state(None, tuple(batch_shape))
 
 
+def carry_to_vec(carry):
+  """(c, h) LSTM carry -> (..., 2*units) flat vector (replay storage)."""
+  c, h = carry
+  return jnp.concatenate([c, h], axis=-1)
+
+
+def vec_to_carry(vec):
+  units = vec.shape[-1] // 2
+  return (vec[..., :units], vec[..., units:])
+
+
 def actor_reset(carry, mask):
   """Zeroes the carry lanes of envs that were just re-initialized."""
   return jax.tree.map(
@@ -110,13 +126,18 @@ def actor_select(config: R2d2Config, params, carry, obs, key, epsilon=0.0):
   return new_carry, jnp.where(explore, random_actions, greedy)
 
 
-def _unroll(net, params, obs_seq):
-  """Scans the network over (B, L+1, D) from a zero carry.
+def _unroll(net, params, obs_seq, carry0=None):
+  """Scans the network over (B, L+1, D).
+
+  carry0: initial LSTM carry; None -> zeros (zero-state burn-in). With
+  stored-state replay it is the carry recorded with the window's first
+  transition.
 
   Returns (q (B, L+1, A), logits (B, L+1, A, N)).
   """
   batch = obs_seq.shape[0]
-  carry0 = net.initial_state(None, (batch,))
+  if carry0 is None:
+    carry0 = net.initial_state(None, (batch,))
 
   def body(carry, x_t):
     carry, (q, logits) = net.apply(params, carry, x_t)
@@ -139,8 +160,11 @@ def sequence_loss(config: R2d2Config, params, target_params,
   obs = batch['obs']
   seq_len = obs.shape[1] - 1
 
-  q_online, logits_online = _unroll(net, params, obs)
-  q_target, logits_target = _unroll(net, target_params, obs)
+  carry0 = None
+  if config.stored_state and 'start_state' in batch:
+    carry0 = vec_to_carry(jax.lax.stop_gradient(batch['start_state']))
+  q_online, logits_online = _unroll(net, params, obs, carry0)
+  q_target, logits_target = _unroll(net, target_params, obs, carry0)
 
   # theta(s_t, a_t) for t in [0, L).
   theta = jnp.take_along_axis(

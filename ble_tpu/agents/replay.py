@@ -12,7 +12,7 @@ Capacity = num_envs * ring_len (the reference uses 2M transitions,
 e.g. 4096 envs x 512 slots).
 """
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,10 +45,14 @@ class ReplayState:
   episode_step: jnp.ndarray  # (E, T) int32: step index within episode.
   priority: jnp.ndarray  # (E, T) float32 sampling priorities.
   total: jnp.ndarray  # int32, global steps written (shared cursor).
+  # Optional recurrent-actor state at the START of each stored step
+  # (R2D2 stored-state replay, Kapturowski et al. 2019): (E, T, S)
+  # flattened carries, or None for feedforward agents.
+  actor_state: Optional[jnp.ndarray] = None
 
 
 def init(num_envs: int, obs_dim: int, config: ReplayConfig,
-         obs_dtype=jnp.float32) -> ReplayState:
+         obs_dtype=jnp.float32, actor_state_dim: int = 0) -> ReplayState:
   t = config.ring_len
   return ReplayState(
       obs=jnp.zeros((num_envs, t, obs_dim), obs_dtype),
@@ -58,11 +62,13 @@ def init(num_envs: int, obs_dim: int, config: ReplayConfig,
       valid=jnp.zeros((num_envs, t), jnp.bool_),
       episode_step=jnp.zeros((num_envs, t), jnp.int32),
       priority=jnp.zeros((num_envs, t), jnp.float32),
-      total=jnp.int32(0))
+      total=jnp.int32(0),
+      actor_state=(jnp.zeros((num_envs, t, actor_state_dim), jnp.float32)
+                   if actor_state_dim else None))
 
 
 def add(state: ReplayState, config: ReplayConfig, obs, action, reward,
-        terminal, active, episode_step) -> ReplayState:
+        terminal, active, episode_step, actor_state=None) -> ReplayState:
   """Writes one lockstep batch of transitions (obs_t, a_t, r_t).
 
   Args:
@@ -71,6 +77,8 @@ def add(state: ReplayState, config: ReplayConfig, obs, action, reward,
     active: (E,) whether the env was still live at this step (frozen
       post-terminal balloons write invalid slots).
     episode_step: (E,) step index within the current episode.
+    actor_state: (E, S) flattened recurrent-actor carries at this step
+      (required iff the buffer was initialized with actor_state_dim).
   """
   slot = state.total % config.ring_len
   upd = lambda buf, new: buf.at[:, slot].set(new)
@@ -86,7 +94,9 @@ def add(state: ReplayState, config: ReplayConfig, obs, action, reward,
       valid=upd(state.valid, active),
       episode_step=upd(state.episode_step, episode_step),
       priority=upd(state.priority, new_priority),
-      total=state.total + 1)
+      total=state.total + 1,
+      actor_state=(upd(state.actor_state, actor_state)
+                   if state.actor_state is not None else None))
 
 
 def sample(state: ReplayState, config: ReplayConfig, key: jax.Array):
@@ -274,7 +284,7 @@ def sample_sequence(state: ReplayState, config: ReplayConfig,
                  finite[:, 1:].astype(jnp.float32) *
                  jnp.isfinite(reward[:, :-1]).astype(jnp.float32))
 
-  return {
+  out = {
       'obs': obs,
       'action': action,
       'reward': reward,
@@ -283,3 +293,8 @@ def sample_sequence(state: ReplayState, config: ReplayConfig,
       'env_idx': env_idx,
       'slot': slots[:, 0],
   }
+  if state.actor_state is not None:
+    # Stored-state replay: the recurrent carry at the window's first step
+    # initializes the learner unroll (instead of burn-in from zeros).
+    out['start_state'] = state.actor_state[env_idx, slots[:, 0]]
+  return out

@@ -113,6 +113,11 @@ class AgentCore(NamedTuple):
   # (contiguous windows via replay.sample_sequence).
   sample_kind: str = 'transition'
   seq_len: int = 0
+  # Stored-state replay (R2D2): flattens the per-env actor carry into the
+  # ring alongside each transition; the sampled window's first carry
+  # seeds the learner unroll.
+  actor_to_vec: Optional[Callable] = None  # actor_state -> (E, S)
+  actor_state_dim: int = 0
 
 
 def _finetune_init(config: TrainConfig):
@@ -167,7 +172,9 @@ def make_agent_core(config: TrainConfig) -> AgentCore:
         actor_init=functools.partial(r2d2_lib.actor_init, rcfg),
         actor_select=functools.partial(r2d2_lib.actor_select, rcfg),
         actor_reset=r2d2_lib.actor_reset,
-        sample_kind='sequence', seq_len=rcfg.seq_len)
+        sample_kind='sequence', seq_len=rcfg.seq_len,
+        actor_to_vec=(r2d2_lib.carry_to_vec if rcfg.stored_state else None),
+        actor_state_dim=(2 * rcfg.lstm_units if rcfg.stored_state else 0))
   if config.agent == 'mlp':
     num_envs = config.num_envs
     return AgentCore(
@@ -219,7 +226,8 @@ def init_train_state(key: jax.Array, env_params: env_lib.EnvParams,
   mp = jax.vmap(marco_polo.begin_episode)(mp_keys)
 
   learner = core.init(learner_key, obs.shape[-1])
-  replay = replay_lib.init(config.num_envs, obs.shape[-1], config.replay)
+  replay = replay_lib.init(config.num_envs, obs.shape[-1], config.replay,
+                           actor_state_dim=core.actor_state_dim)
   actor = (core.actor_init(config.num_envs)
            if core.actor_init is not None else ())
 
@@ -311,8 +319,14 @@ def env_step(config: TrainConfig, env_params: env_lib.EnvParams,
   out = env_lib.step_batched(env_params, ts.env_state, actions)
 
   terminal = jnp.logical_and(ts.active, out.done)
-  rep = replay_lib.add(ts.replay, config.replay, ts.obs, actions, out.reward,
-                       terminal, ts.active, ts.episode_step)
+  rep = replay_lib.add(
+      ts.replay, config.replay, ts.obs, actions, out.reward, terminal,
+      ts.active, ts.episode_step,
+      # Stored-state replay: ts.actor is the carry BEFORE consuming
+      # ts.obs -- exactly the state that should seed a learner unroll
+      # starting at this slot.
+      actor_state=(core.actor_to_vec(ts.actor)
+                   if core.actor_to_vec is not None else None))
 
   learner = ts.learner
   if core.uses_replay:
