@@ -57,11 +57,40 @@ def restore_latest_checkpoint(base_dir: str,
   if latest is None:
     mgr.close()
     return template, -1
-  restored = mgr.restore(
-      latest, args=ocp.args.StandardRestore(jax.tree.map(
-          ocp.utils.to_shape_dtype_struct, template)))
+  shapes = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+  try:
+    restored = mgr.restore(latest, args=ocp.args.StandardRestore(shapes))
+  except ValueError:
+    # Checkpoints written by an older code version can have a different
+    # pytree structure (e.g. optional replay extras added later). Read
+    # the raw tree and graft its leaves onto the template BY PATH;
+    # fields absent on disk keep the template's fresh initialization.
+    restored = _merge_raw_checkpoint(template, mgr.restore(latest))
   mgr.close()
   return restored, latest
+
+
+def _merge_raw_checkpoint(template, raw):
+  """Grafts a raw (nested-dict) checkpoint onto a pytree template by
+  matching key paths; unmatched template leaves stay as-is."""
+  from jax import tree_util as jtu
+
+  def name_of(k):
+    for attr in ('name', 'key', 'idx'):
+      if hasattr(k, attr):
+        return str(getattr(k, attr))
+    return str(k)
+
+  raw_leaves = {
+      tuple(name_of(k) for k in path): v
+      for path, v in jtu.tree_flatten_with_path(raw)[0]
+  }
+
+  def build(path, leaf):
+    v = raw_leaves.get(tuple(name_of(k) for k in path))
+    return leaf if v is None else jnp.asarray(v)
+
+  return jtu.tree_map_with_path(build, template)
 
 
 def restore_latest_learner_params(base_dir: str):

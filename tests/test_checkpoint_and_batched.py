@@ -68,6 +68,43 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
+def test_restore_from_older_tree_structure(tmp_path):
+  """Checkpoints written before a pytree field existed still restore:
+  the by-path graft keeps the template's fresh value for new fields
+  (e.g. replay.actor_state added for R2D2 stored-state replay)."""
+  config = learner_lib.TrainConfig(
+      num_envs=2,
+      qrdqn=qrdqn.QrDqnConfig(num_layers=2, hidden_units=16, num_atoms=5,
+                              min_replay_history=4),
+      replay=replay_lib.ReplayConfig(ring_len=16, batch_size=4))
+  env_params = env_lib.EnvParams()
+  field_fn = env_lib.make_field_fn('static')
+  ts = learner_lib.init_train_state(jax.random.PRNGKey(0), env_params,
+                                    field_fn, config)
+
+  # Simulate an old-version checkpoint: the raw nested tree with one
+  # replay field REMOVED plus one RENAMED-away field.
+  from flax import serialization
+  raw = serialization.to_state_dict(ts)
+  del raw['replay']['priority']
+  train_lib.save_checkpoint(str(tmp_path), raw, iteration=1)
+
+  template = learner_lib.init_train_state(jax.random.PRNGKey(1), env_params,
+                                          field_fn, config)
+  restored, it = train_lib.restore_latest_checkpoint(str(tmp_path), template)
+  assert it == 1
+  # Fields present on disk: restored from the checkpoint (== ts).
+  np.testing.assert_array_equal(np.asarray(restored.obs), np.asarray(ts.obs))
+  np.testing.assert_array_equal(np.asarray(restored.learner.params['params']
+                                           ['Dense_0']['kernel']),
+                                np.asarray(ts.learner.params['params']
+                                           ['Dense_0']['kernel']))
+  # Field missing on disk: keeps the template's value.
+  np.testing.assert_array_equal(np.asarray(restored.replay.priority),
+                                np.asarray(template.replay.priority))
+
+
+@pytest.mark.slow
 def test_restore_without_checkpoint_returns_template(tmp_path):
   config = learner_lib.TrainConfig(
       num_envs=1,
