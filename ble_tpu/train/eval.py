@@ -67,12 +67,17 @@ def main():
   parser.add_argument('--num_shards', type=int, default=1)
   parser.add_argument('--shard_idx', type=int, default=0)
   parser.add_argument('--flight_path', action='store_true')
+  parser.add_argument('--f32_grid', action='store_true',
+                      help='Store forecast grids in f32 instead of the '
+                      'bf16 training default (parity/eval mode; use when '
+                      'evaluating externally-trained policies -- see '
+                      'docs/benchmarks.md "bf16 grid cost").')
   args = parser.parse_args()
 
   suite = suites.get_eval_suite(args.suite)
   seeds = suite.seeds[args.shard_idx::args.num_shards]
 
-  env_params = env_lib.EnvParams()
+  env_params = env_lib.EnvParams(wind_field_f32=args.f32_grid)
   if args.wind_field == 'generative':
     from ble_tpu.models import loader
     field_fn = env_lib.make_field_fn('generative', loader.load_offlineskies22())
