@@ -54,7 +54,7 @@ def main():
   if steps:
     ax.plot(steps[-1], twr[-1], 'o', color=SERIES, markersize=5)
     ax.annotate(f'{twr[-1]:.2f}', xy=(steps[-1], twr[-1]),
-                xytext=(6, -2), textcoords='offset points',
+                xytext=(2, -14), textcoords='offset points',
                 color=INK, fontsize=9)
 
   ax.set_xlabel('environment steps (millions)', color=INK)
