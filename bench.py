@@ -37,7 +37,11 @@ def main():
   from ble_tpu.env import env as env_lib
   from ble_tpu.generative import vae
 
-  env_params = env_lib.EnvParams()
+  # Windowed field-slab cache (EnvParams.field_cache): per-step wind
+  # queries read a 4x4 lat/lng window instead of the full 21x21 grid,
+  # cutting the step's largest HBM stream (docs/benchmarks.md roofline).
+  field_cache = os.environ.get('BENCH_FIELD_CACHE', '1') == '1'
+  env_params = env_lib.EnvParams(field_cache=field_cache)
   wind_kind = os.environ.get('BENCH_WIND', 'generative')
   if wind_kind == 'generative':
     decoder_params = vae.init_decoder_params(jax.random.PRNGKey(0))
@@ -68,13 +72,15 @@ def main():
     (<=4096 envs) -- at the 16384 default the step is compute/bandwidth
     bound and unroll is within noise (docs/benchmarks.md ablation).
     """
-    def body(carry, key):
+    def body(carry, xs):
       # Random policy (BASELINE config 3: random agent; env count from
       # BENCH_NUM_ENVS).
+      i, key = xs
       actions = jax.random.randint(key, (num_envs,), 0, 3)
-      out = env_lib.step_batched(env_params, carry, actions)
+      out = env_lib.step_batched(env_params, carry, actions, global_step=i)
       return out.state, out.reward
-    state, rewards = jax.lax.scan(body, state, keys, unroll=unroll)
+    idx = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    state, rewards = jax.lax.scan(body, state, (idx, keys), unroll=unroll)
     return rewards.sum(), rewards.mean()
 
   rollout = jax.jit(rollout)

@@ -52,6 +52,17 @@ class EnvParams:
   # the two is in docs/benchmarks.md). Static: selects dtypes at trace
   # time.
   wind_field_f32: bool = struct.field(pytree_node=False, default=False)
+  # Windowed field-slab cache (wind_field.refresh_slab): per-step queries
+  # read a (4, 4) lat/lng window instead of the full 21x21 grid -- the
+  # grid read is the env step's largest HBM stream (docs/benchmarks.md
+  # roofline). Exact while the balloon moves less than one 50 km grid
+  # cell between refreshes: with `field_cache_every=8` agent steps that
+  # is sustained wind < ~34.7 m/s, far above stratospheric speeds.
+  # Callers that scan the step must pass `global_step` to step_batched
+  # (bench.py, learner.env_step, eval_lib do); without it the slab
+  # conservatively refreshes every step (correct, no speedup).
+  field_cache: bool = struct.field(pytree_node=False, default=False)
+  field_cache_every: int = struct.field(pytree_node=False, default=8)
 
 
 @struct.dataclass
@@ -170,6 +181,8 @@ def reset_from_field(key: jax.Array, params: EnvParams, field: jnp.ndarray):
   seeds, offsets = wind_field_lib.reset_noise(noise_key)
   wind = wind_field_lib.WindFieldState(field=field, noise_seeds=seeds,
                                        noise_offsets=offsets)
+  if params.field_cache:
+    wind = wind_field_lib.refresh_slab(wind, x_m, y_m)
   return init_state(params, atmosphere, t0, x_m, y_m, center_lat,
                     center_lng, pressure, upwelling_ir, wind)
 
@@ -239,6 +252,11 @@ def init_state(params: EnvParams, atmosphere, t0, x_m, y_m, center_lat,
 def step(params: EnvParams, state: EnvState, action) -> StepOutput:
   """One agent step (reference balloon_env.py:157-190 +
   balloon_arena.py:184-202)."""
+  if state.wind.slab is not None:
+    # Single-env path: re-center every step (correctness over speed; the
+    # amortized cadence lives in step_batched, the production path).
+    state = state.replace(wind=wind_field_lib.refresh_slab(
+        state.wind, state.balloon.x_m, state.balloon.y_m))
   balloon = balloon_lib.simulate_step(
       params.balloon, state.atmosphere, state.balloon, state.wind_u,
       state.wind_v, jnp.asarray(action, jnp.int32))
@@ -246,7 +264,7 @@ def step(params: EnvParams, state: EnvState, action) -> StepOutput:
 
 
 def step_batched(params: EnvParams, state: EnvState, actions,
-                 physics: str = 'auto') -> StepOutput:
+                 physics: str = 'auto', global_step=None) -> StepOutput:
   """Batched agent step with the physics backend made explicit.
 
   `state` leaves carry a leading env axis (from a vmapped reset).
@@ -256,10 +274,24 @@ def step_batched(params: EnvParams, state: EnvState, actions,
   scan-based path; 'auto' picks by backend. Everything after physics
   (wind measurement, GP update, features, reward) is identical vmapped
   code in all cases.
+
+  global_step: scalar step counter from the caller's scan, driving the
+  field-slab refresh cadence (EnvParams.field_cache). None with the
+  cache enabled = refresh every step (correct but unamortized).
   """
   if physics == 'auto':
     physics = 'fused' if jax.default_backend() == 'tpu' else 'xla'
   actions = jnp.asarray(actions, jnp.int32)
+  if state.wind.slab is not None:
+    def do_refresh(s):
+      return s.replace(wind=jax.vmap(wind_field_lib.refresh_slab)(
+          s.wind, s.balloon.x_m, s.balloon.y_m))
+    if global_step is None:
+      state = do_refresh(state)
+    else:
+      state = jax.lax.cond(
+          jnp.asarray(global_step) % params.field_cache_every == 0,
+          do_refresh, lambda s: s, state)
   if physics == 'fused':
     from ble_tpu.ops import pallas_physics
     balloon = pallas_physics.simulate_step_fused(

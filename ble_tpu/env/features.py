@@ -116,13 +116,8 @@ def wind_column_features(params, state: balloon_lib.BalloonState,
   (uncertainty, angle_error, magnitude) rows; caller flattens.
   """
   elapsed = state.time_elapsed_s.astype(jnp.float32)
-  queries = jnp.stack([
-      jnp.full((NUM_PRESSURE_LEVELS,), state.x_m),
-      jnp.full((NUM_PRESSURE_LEVELS,), state.y_m),
-      PRESSURE_LEVELS,
-      jnp.full((NUM_PRESSURE_LEVELS,), elapsed),
-  ], axis=-1)
-  error_means, deviations = wind_gp.query(gp_state, queries)
+  error_means, deviations = wind_gp.query_column(
+      gp_state, state.x_m, state.y_m, elapsed, PRESSURE_LEVELS)
 
   forecast_u, forecast_v = wind_field_lib.get_forecast(
       wind, state.x_m, state.y_m, PRESSURE_LEVELS, elapsed)

@@ -66,6 +66,18 @@ class WindFieldState:
   # permutation tables; when present, get_noise evaluates bit-faithful
   # OpenSimplex 4-D noise instead of the hash-lattice noise.
   noise_perms: Optional[jnp.ndarray] = None
+  # Windowed slab cache (None = read the full grid every query). The step
+  # only ever queries the field at the balloon, which moves <=2 km/step vs
+  # the 50 km lat/lng grid spacing -- so `effective_column` reading all
+  # 155 KiB of the (bf16) grid per env per step is the single largest HBM
+  # stream of the whole env step (docs/benchmarks.md roofline). The slab
+  # caches the (SLAB_W, SLAB_W) lat/lng sub-grid (all pressure/time
+  # slices) around the balloon; `refresh_slab` re-centers it (one full
+  # streaming read) and is called by the harness every
+  # `EnvParams.field_cache_every` steps, amortizing the full read.
+  slab: Optional[jnp.ndarray] = None  # (SLAB_W, SLAB_W, 10, 9, 2).
+  slab_x0: Optional[jnp.ndarray] = None  # () int32 window base corner.
+  slab_y0: Optional[jnp.ndarray] = None
 
 
 def reset_noise(key: jax.Array):
@@ -152,18 +164,81 @@ def _axis_weights(coord, n: int, lo: float, hi: float):
           jnp.where(iota == i0e + 1.0, frac[..., None], 0.0))
 
 
+# Slab-cache geometry. SLAB_W=4 keeps every corner the balloon can need
+# within the window for >=1 full 50 km cell of movement from the refresh
+# position (incl. at domain edges, where the query clamp and the window
+# clamp coincide) -- with the default refresh cadence of 8 agent steps
+# (8 x 180 s), the cache is exact for sustained winds below ~34.7 m/s,
+# comfortably above stratospheric speeds (the generative fields peak well
+# under 25 m/s; see docs/benchmarks.md).
+SLAB_W = 4
+
+
+def _grid_coord(v_km):
+  """Continuous (clamped) lat/lng grid coordinate in [0, n-1]."""
+  n = LATLNG_SLICES
+  t = ((jnp.asarray(v_km, jnp.float32) + LATLNG_DISPLACEMENT_KM)
+       / (2.0 * LATLNG_DISPLACEMENT_KM) * (n - 1))
+  return jnp.clip(t, 0.0, n - 1)
+
+
+def refresh_slab(state: WindFieldState, x_m, y_m) -> WindFieldState:
+  """Re-centers the slab cache on (x, y): one full streaming field read.
+
+  The 4-row selection is an exact one-hot contraction (0/1 weights in the
+  field dtype), so slab entries are bit-identical to the grid's -- the
+  cached column equals the full-grid column exactly while the balloon
+  stays inside the window (tests/test_wind_field_cache.py)."""
+  x0 = jnp.clip(jnp.floor(_grid_coord(jnp.asarray(x_m) / 1000.0)) - 1,
+                0, LATLNG_SLICES - SLAB_W).astype(jnp.int32)
+  y0 = jnp.clip(jnp.floor(_grid_coord(jnp.asarray(y_m) / 1000.0)) - 1,
+                0, LATLNG_SLICES - SLAB_W).astype(jnp.int32)
+  iota = jnp.arange(LATLNG_SLICES, dtype=jnp.int32)
+  sx = (iota[None, :] == (x0 + jnp.arange(SLAB_W, dtype=jnp.int32))[:, None])
+  sy = (iota[None, :] == (y0 + jnp.arange(SLAB_W, dtype=jnp.int32))[:, None])
+  dtype = state.field.dtype
+  slab = jnp.einsum('xX,XYptc->xYptc', sx.astype(dtype), state.field,
+                    preferred_element_type=dtype)
+  slab = jnp.einsum('yY,xYptc->xyptc', sy.astype(dtype), slab,
+                    preferred_element_type=dtype)
+  return state.replace(slab=slab, slab_x0=x0, slab_y0=y0)
+
+
+def _window_weights(coord, base):
+  """One-hot-pair weights over the SLAB_W window, clamped to its edges
+  (coincides with the grid's own edge clamp when the window touches the
+  domain boundary; out-of-window queries -- beyond the documented speed
+  bound -- clamp to the nearest window edge)."""
+  local = jnp.clip(coord - base.astype(jnp.float32), 0.0, SLAB_W - 1)
+  i0 = jnp.clip(jnp.floor(local), 0, SLAB_W - 2)
+  frac = local - i0
+  iota = jnp.arange(SLAB_W, dtype=jnp.float32)
+  i0e = i0[..., None]
+  return (jnp.where(iota == i0e, (1.0 - frac)[..., None], 0.0) +
+          jnp.where(iota == i0e + 1.0, frac[..., None], 0.0))
+
+
 def effective_column(state: WindFieldState, x_m, y_m, elapsed_s):
   """(..., 10, 2) wind column at (x, y, t): the field contracted over the
   lat/lng/time axes with linear weights. One MXU contraction replaces the
-  reference's scipy.interpn corner gathers."""
+  reference's scipy.interpn corner gathers. When the slab cache is
+  populated, only the (SLAB_W, SLAB_W) window is read (~14x less HBM
+  traffic than the full grid)."""
   x_km = jnp.asarray(x_m, jnp.float32) / 1000.0
   y_km = jnp.asarray(y_m, jnp.float32) / 1000.0
   t_hours = _boomerang_hours(elapsed_s)
+  wt = _axis_weights(t_hours, TIME_SLICES, 0.0, TIME_HORIZON_HOURS)
+  if state.slab is not None:  # Trace-time dispatch, like noise_perms.
+    wx = _window_weights(_grid_coord(x_km), state.slab_x0)
+    wy = _window_weights(_grid_coord(y_km), state.slab_y0)
+    col = jnp.einsum('...x,...xyptc->...yptc', wx.astype(state.slab.dtype),
+                     state.slab, preferred_element_type=jnp.float32)
+    col = jnp.einsum('...y,...yptc->...ptc', wy, col)
+    return jnp.einsum('...t,...ptc->...pc', wt, col)
   wx = _axis_weights(x_km, LATLNG_SLICES, -LATLNG_DISPLACEMENT_KM,
                      LATLNG_DISPLACEMENT_KM)
   wy = _axis_weights(y_km, LATLNG_SLICES, -LATLNG_DISPLACEMENT_KM,
                      LATLNG_DISPLACEMENT_KM)
-  wt = _axis_weights(t_hours, TIME_SLICES, 0.0, TIME_HORIZON_HOURS)
   # Chained per-axis contractions, NOT one joint einsum: the joint
   # '...x,...y,...t,...xyptc->...pc' form lowers to a kLoop VPU
   # multiply-reduce fusion that a profiler trace showed consuming >90% of

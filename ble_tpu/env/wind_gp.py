@@ -311,3 +311,25 @@ def query(state: WindGPState, query_locations) -> tuple:
   means = jnp.where(any_valid, means, 0.0)
   deviations = jnp.where(any_valid, deviations, 0.0)
   return means, deviations
+
+
+def query_column(state: WindGPState, x_m, y_m, elapsed_s, pressures):
+  """GP posterior at a pressure column sharing one (x, y, t).
+
+  The feature constructor's hot query (181 levels per env per step). On
+  TPU this dispatches to the fused Pallas kernel (ops/pallas_gp.py) that
+  keeps the k* matrix in VMEM instead of round-tripping it through HBM;
+  elsewhere (and for parity tooling) it is exactly `query`.
+  """
+  if jax.default_backend() == 'tpu':
+    from ble_tpu.ops import pallas_gp
+    return pallas_gp.query_column(state, x_m, y_m, elapsed_s, pressures)
+  pressures = jnp.asarray(pressures, jnp.float32)
+  n = pressures.shape[0]
+  queries = jnp.stack([
+      jnp.full((n,), jnp.asarray(x_m, jnp.float32)),
+      jnp.full((n,), jnp.asarray(y_m, jnp.float32)),
+      pressures,
+      jnp.full((n,), jnp.asarray(elapsed_s, jnp.float32)),
+  ], axis=-1)
+  return query(state, queries)

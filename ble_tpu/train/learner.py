@@ -316,7 +316,8 @@ def env_step(config: TrainConfig, env_params: env_lib.EnvParams,
   else:
     mp, actions = ts.mp, rl_actions
 
-  out = env_lib.step_batched(env_params, ts.env_state, actions)
+  out = env_lib.step_batched(env_params, ts.env_state, actions,
+                             global_step=ts.env_steps)
 
   terminal = jnp.logical_and(ts.active, out.done)
   rep = replay_lib.add(

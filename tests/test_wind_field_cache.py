@@ -1,0 +1,123 @@
+"""Windowed field-slab cache (wind_field.refresh_slab) correctness.
+
+The slab caches the (4, 4) lat/lng sub-grid around the balloon so per-step
+queries skip the full 21x21 grid read (the env step's largest HBM stream;
+docs/benchmarks.md roofline). These tests pin the cache's contract: the
+cached column is EXACTLY the full-grid column (same weights, same nonzero
+terms, same dtypes) while the balloon stays inside the window, including at
+domain edges where both paths clamp identically.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ble_tpu.env import env as env_lib
+from ble_tpu.env import wind_field as wf
+
+
+def _state_with(field, key=0):
+  return wf.make_state(field, jax.random.PRNGKey(key),
+                       field_dtype=field.dtype)
+
+
+def test_slab_column_matches_full_column():
+  key = jax.random.PRNGKey(3)
+  field = jax.random.normal(key, wf.GRID_SHAPE, jnp.float32) * 10.0
+  state = _state_with(field)
+  rng = np.random.RandomState(0)
+  for _ in range(20):
+    x_m = float(rng.uniform(-520e3, 520e3))
+    y_m = float(rng.uniform(-520e3, 520e3))
+    t_s = float(rng.uniform(0.0, 60.0 * 3600))
+    # Query within ~half a cell of the refresh position: always in-window.
+    dx = float(rng.uniform(-20e3, 20e3))
+    dy = float(rng.uniform(-20e3, 20e3))
+    cached = wf.refresh_slab(state, x_m, y_m)
+    col_full = wf.effective_column(state, x_m + dx, y_m + dy, t_s)
+    col_slab = wf.effective_column(cached, x_m + dx, y_m + dy, t_s)
+    np.testing.assert_array_equal(np.asarray(col_slab), np.asarray(col_full))
+
+
+def test_slab_valid_one_full_cell_from_refresh():
+  """The documented margin: >=1 grid cell (50 km) of drift stays exact."""
+  field = jax.random.normal(jax.random.PRNGKey(5), wf.GRID_SHAPE,
+                            jnp.float32)
+  state = _state_with(field)
+  for x0 in (-480e3, -60e3, 10e3, 470e3):
+    cached = wf.refresh_slab(state, x0, x0 / 2.0)
+    for drift in (-49e3, -25e3, 0.0, 25e3, 49e3):
+      full = wf.effective_column(state, x0 + drift, x0 / 2.0 + drift, 7200.0)
+      slab = wf.effective_column(cached, x0 + drift, x0 / 2.0 + drift, 7200.0)
+      np.testing.assert_array_equal(np.asarray(slab), np.asarray(full))
+
+
+def test_slab_edge_clamp_matches_grid_clamp():
+  """Far outside the grid both paths clamp to the boundary column."""
+  field = jax.random.normal(jax.random.PRNGKey(7), wf.GRID_SHAPE,
+                            jnp.float32)
+  state = _state_with(field)
+  for x_m, y_m in [(900e3, 900e3), (-900e3, 480e3), (490e3, -2000e3)]:
+    cached = wf.refresh_slab(state, x_m, y_m)
+    full = wf.effective_column(state, x_m, y_m, 0.0)
+    slab = wf.effective_column(cached, x_m, y_m, 0.0)
+    np.testing.assert_array_equal(np.asarray(slab), np.asarray(full))
+
+
+def test_step_batched_cached_trajectory_identical():
+  """24 steps of the batched env: cache on == cache off, bit for bit."""
+  n = 8
+  field_fn = env_lib.make_field_fn('static')
+  keys = jax.random.split(jax.random.PRNGKey(11), n)
+  actions = jax.random.randint(jax.random.PRNGKey(12), (24, n), 0, 3)
+
+  def run(params):
+    state, obs = jax.jit(jax.vmap(
+        functools.partial(env_lib.reset, params=params,
+                          field_fn=field_fn)))(keys)
+
+    @jax.jit
+    def rollout(state):
+      def body(carry, xs):
+        i, acts = xs
+        out = env_lib.step_batched(params, carry, acts, physics='xla',
+                                   global_step=i)
+        return out.state, (out.observation, out.reward)
+      idx = jnp.arange(24, dtype=jnp.int32)
+      return jax.lax.scan(body, state, (idx, actions))
+
+    final, (obs_seq, rew_seq) = rollout(state)
+    return final, obs_seq, rew_seq, obs
+
+  base_final, base_obs, base_rew, base_o0 = run(env_lib.EnvParams())
+  c_final, c_obs, c_rew, c_o0 = run(env_lib.EnvParams(field_cache=True))
+
+  np.testing.assert_array_equal(np.asarray(c_o0), np.asarray(base_o0))
+  np.testing.assert_array_equal(np.asarray(c_obs), np.asarray(base_obs))
+  np.testing.assert_array_equal(np.asarray(c_rew), np.asarray(base_rew))
+  np.testing.assert_array_equal(np.asarray(c_final.balloon.x_m),
+                                np.asarray(base_final.balloon.x_m))
+  np.testing.assert_array_equal(np.asarray(c_final.balloon.pressure_pa),
+                                np.asarray(base_final.balloon.pressure_pa))
+
+
+def test_single_env_step_refreshes_every_step():
+  """The single-env `step` path re-centers per step: long drift stays
+  exact without any caller-side cadence."""
+  params = env_lib.EnvParams(field_cache=True)
+  base = env_lib.EnvParams()
+  field_fn = env_lib.make_field_fn('static')
+  key = jax.random.PRNGKey(21)
+  s_c, o_c = env_lib.reset(key, params, field_fn)
+  s_b, o_b = env_lib.reset(key, base, field_fn)
+  np.testing.assert_array_equal(np.asarray(o_c), np.asarray(o_b))
+  step_c = jax.jit(functools.partial(env_lib.step, params))
+  step_b = jax.jit(functools.partial(env_lib.step, base))
+  for i in range(12):
+    out_c = step_c(s_c, i % 3)
+    out_b = step_b(s_b, i % 3)
+    s_c, s_b = out_c.state, out_b.state
+    np.testing.assert_array_equal(np.asarray(out_c.observation),
+                                  np.asarray(out_b.observation))
