@@ -72,15 +72,28 @@ def main():
     (<=4096 envs) -- at the 16384 default the step is compute/bandwidth
     bound and unroll is within noise (docs/benchmarks.md ablation).
     """
-    def body(carry, xs):
+    def body(carry, key):
       # Random policy (BASELINE config 3: random agent; env count from
       # BENCH_NUM_ENVS).
-      i, key = xs
       actions = jax.random.randint(key, (num_envs,), 0, 3)
-      out = env_lib.step_batched(env_params, carry, actions, global_step=i)
+      out = env_lib.step_batched(env_params, carry, actions,
+                                 refresh='never')
       return out.state, out.reward
-    idx = jnp.arange(keys.shape[0], dtype=jnp.int32)
-    state, rewards = jax.lax.scan(body, state, (idx, keys), unroll=unroll)
+    if field_cache:
+      # Cond-free cadence: an unconditional slab re-center at every
+      # `field_cache_every`-step chunk boundary of a nested scan (a
+      # traced lax.cond would force layout copies of the multi-GB
+      # carried field).
+      k = env_params.field_cache_every
+      assert keys.shape[0] % k == 0
+
+      def chunk(carry, chunk_keys):
+        carry = env_lib.refresh_field_cache(carry)
+        return jax.lax.scan(body, carry, chunk_keys, unroll=unroll)
+      state, rewards = jax.lax.scan(
+          chunk, state, keys.reshape(keys.shape[0] // k, k, -1))
+    else:
+      state, rewards = jax.lax.scan(body, state, keys, unroll=unroll)
     return rewards.sum(), rewards.mean()
 
   rollout = jax.jit(rollout)

@@ -263,8 +263,19 @@ def step(params: EnvParams, state: EnvState, action) -> StepOutput:
   return _post_physics(params, state, balloon)
 
 
+def refresh_field_cache(state: EnvState) -> EnvState:
+  """Re-centers every env's field slab (wind_field.refresh_slab) on its
+  balloon. No-op-free: call only when the cache is enabled. Scan drivers
+  that manage the cadence themselves (nested chunk scans -- the
+  cond-free form; see bench.py) call this at chunk boundaries and pass
+  `refresh='never'` to step_batched."""
+  return state.replace(wind=jax.vmap(wind_field_lib.refresh_slab)(
+      state.wind, state.balloon.x_m, state.balloon.y_m))
+
+
 def step_batched(params: EnvParams, state: EnvState, actions,
-                 physics: str = 'auto', global_step=None) -> StepOutput:
+                 physics: str = 'auto', global_step=None,
+                 refresh: str = 'auto') -> StepOutput:
   """Batched agent step with the physics backend made explicit.
 
   `state` leaves carry a leading env axis (from a vmapped reset).
@@ -278,20 +289,20 @@ def step_batched(params: EnvParams, state: EnvState, actions,
   global_step: scalar step counter from the caller's scan, driving the
   field-slab refresh cadence (EnvParams.field_cache). None with the
   cache enabled = refresh every step (correct but unamortized).
+  refresh: 'auto' (cadence here, via lax.cond on global_step), or
+  'never' for drivers that call refresh_field_cache at their own chunk
+  boundaries (avoids the cond entirely).
   """
   if physics == 'auto':
     physics = 'fused' if jax.default_backend() == 'tpu' else 'xla'
   actions = jnp.asarray(actions, jnp.int32)
-  if state.wind.slab is not None:
-    def do_refresh(s):
-      return s.replace(wind=jax.vmap(wind_field_lib.refresh_slab)(
-          s.wind, s.balloon.x_m, s.balloon.y_m))
+  if state.wind.slab is not None and refresh != 'never':
     if global_step is None:
-      state = do_refresh(state)
+      state = refresh_field_cache(state)
     else:
       state = jax.lax.cond(
           jnp.asarray(global_step) % params.field_cache_every == 0,
-          do_refresh, lambda s: s, state)
+          refresh_field_cache, lambda s: s, state)
   if physics == 'fused':
     from ble_tpu.ops import pallas_physics
     balloon = pallas_physics.simulate_step_fused(

@@ -197,10 +197,18 @@ def refresh_slab(state: WindFieldState, x_m, y_m) -> WindFieldState:
   sx = (iota[None, :] == (x0 + jnp.arange(SLAB_W, dtype=jnp.int32))[:, None])
   sy = (iota[None, :] == (y0 + jnp.arange(SLAB_W, dtype=jnp.int32))[:, None])
   dtype = state.field.dtype
-  slab = jnp.einsum('xX,XYptc->xYptc', sx.astype(dtype), state.field,
-                    preferred_element_type=dtype)
-  slab = jnp.einsum('yY,xYptc->xyptc', sy.astype(dtype), slab,
-                    preferred_element_type=dtype)
+  # ONE joint (SLAB_W^2, 21*21) x (21*21, 180) matmul instead of chained
+  # per-axis selections: the flattened field keeps its natural
+  # row-major layout (ptc minor), so the dot streams it without the
+  # 7x-padded X/Y-minor relayout XLA materializes for the per-axis
+  # matrix form (observed as an 18 GB copy at 16384 envs).
+  sel = jnp.einsum('xX,yY->xyXY', sx.astype(dtype), sy.astype(dtype),
+                   preferred_element_type=dtype)
+  sel = sel.reshape(SLAB_W * SLAB_W, LATLNG_SLICES * LATLNG_SLICES)
+  flat = state.field.reshape(LATLNG_SLICES * LATLNG_SLICES,
+                             PRESSURE_SLICES * TIME_SLICES * 2)
+  slab = jnp.matmul(sel, flat, preferred_element_type=dtype).reshape(
+      SLAB_W, SLAB_W, PRESSURE_SLICES, TIME_SLICES, 2)
   return state.replace(slab=slab, slab_x0=x0, slab_y0=y0)
 
 
