@@ -78,14 +78,24 @@ def main():
       actions = jax.random.randint(key, (num_envs,), 0, 3)
       out = env_lib.step_batched(env_params, carry, actions,
                                  refresh='never')
-      return out.state, out.reward
+      # The OBSERVATION must be consumed: the reward depends only on the
+      # balloon position, so a reward-only rollout lets XLA dead-code
+      # eliminate the entire GP-observe + feature pipeline -- the
+      # dominant real cost. Rounds 1-3 benched exactly that hollow step
+      # (22x optimistic at 4096 envs; docs/benchmarks.md round-4
+      # postmortem). One scalar reduction per step keeps it live at
+      # negligible cost.
+      return out.state, out.reward + 1e-12 * jnp.sum(out.observation)
     if field_cache:
       # Cond-free cadence: an unconditional slab re-center at every
       # `field_cache_every`-step chunk boundary of a nested scan (a
       # traced lax.cond would force layout copies of the multi-GB
       # carried field).
       k = env_params.field_cache_every
-      assert keys.shape[0] % k == 0
+      if keys.shape[0] % k:
+        raise ValueError(
+            f'BENCH_NUM_STEPS={keys.shape[0]} must be a multiple of '
+            f'field_cache_every={k} (or set BENCH_FIELD_CACHE=0)')
 
       def chunk(carry, chunk_keys):
         carry = env_lib.refresh_field_cache(carry)

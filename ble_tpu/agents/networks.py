@@ -34,13 +34,18 @@ class MLPNetwork(nn.Module):
 
 class LstmQuantileNetwork(nn.Module):
   """Recurrent quantile network (reference acme_utils.py:100-157 R2D2
-  variant: torso MLP -> LSTM -> quantile head). Call with an explicit
-  carry; use `initial_state` for episode starts."""
+  variant: torso MLP -> LSTM -> duelling head). Call with an explicit
+  carry; use `initial_state` for episode starts.
+
+  `duelling` mirrors the reference's DuellingMLP head
+  (acme_utils.py:126-142): value and advantage streams combined as
+  q = V + A - mean_a(A), here per quantile atom."""
   num_actions: int = 3
   num_atoms: int = NUM_ATOMS
   torso_layers: int = 2
   hidden_units: int = HIDDEN_UNITS
   lstm_units: int = 256
+  duelling: bool = True
 
   @nn.compact
   def __call__(self, carry, x: jnp.ndarray):
@@ -50,8 +55,18 @@ class LstmQuantileNetwork(nn.Module):
     for _ in range(self.torso_layers):
       x = nn.relu(nn.Dense(self.hidden_units, kernel_init=kernel_init)(x))
     carry, x = nn.OptimizedLSTMCell(self.lstm_units)(carry, x)
-    x = nn.Dense(self.num_actions * self.num_atoms, kernel_init=kernel_init)(x)
-    logits = x.reshape(x.shape[:-1] + (self.num_actions, self.num_atoms))
+    if self.duelling:
+      h = nn.relu(nn.Dense(self.lstm_units, kernel_init=kernel_init)(x))
+      value = nn.Dense(self.num_atoms, kernel_init=kernel_init)(h)
+      adv = nn.Dense(self.num_actions * self.num_atoms,
+                     kernel_init=kernel_init)(h)
+      adv = adv.reshape(adv.shape[:-1] + (self.num_actions, self.num_atoms))
+      logits = (value[..., None, :] + adv -
+                jnp.mean(adv, axis=-2, keepdims=True))
+    else:
+      x = nn.Dense(self.num_actions * self.num_atoms,
+                   kernel_init=kernel_init)(x)
+      logits = x.reshape(x.shape[:-1] + (self.num_actions, self.num_atoms))
     q_values = jnp.mean(logits, axis=-1)
     return carry, (q_values, logits)
 

@@ -35,8 +35,16 @@ class R2d2Config:
   torso_layers: int = 2
   hidden_units: int = 600
   lstm_units: int = 256
+  # Duelling value/advantage head, the reference's R2D2 head shape
+  # (acme_utils.py:126-142 DuellingMLP).
+  duelling: bool = True
   gamma: float = 0.993
-  learning_rate: float = 2e-6
+  # The reference's R2D2 variant inherits Acme's R2D2 defaults (lr
+  # ~1e-3); the round-3 run at the QR-DQN-style 1e-5 did ~32x fewer
+  # grad steps per env step than the feedforward run (sequence SPI
+  # accounting) and stayed flat (results/r2d2_run). 5e-5 plus a raised
+  # SPI is the round-4 recipe (results/r2d2_run_r4).
+  learning_rate: float = 5e-5
   adam_eps: float = 0.00002
   target_update_period: int = 100
   min_replay_history: int = 500
@@ -68,7 +76,7 @@ def make_network(config: R2d2Config) -> networks.LstmQuantileNetwork:
   return networks.LstmQuantileNetwork(
       num_actions=config.num_actions, num_atoms=config.num_atoms,
       torso_layers=config.torso_layers, hidden_units=config.hidden_units,
-      lstm_units=config.lstm_units)
+      lstm_units=config.lstm_units, duelling=config.duelling)
 
 
 def make_optimizer(config: R2d2Config):

@@ -58,9 +58,12 @@ class EnvParams:
   # roofline). Exact while the balloon moves less than one 50 km grid
   # cell between refreshes: with `field_cache_every=8` agent steps that
   # is sustained wind < ~34.7 m/s, far above stratospheric speeds.
-  # Callers that scan the step must pass `global_step` to step_batched
-  # (bench.py, learner.env_step, eval_lib do); without it the slab
-  # conservatively refreshes every step (correct, no speedup).
+  # Production scan drivers (bench.py, learner.run_episode_chunk,
+  # eval_lib's chunked episode scan) all use the cond-free cadence:
+  # step with refresh='never' + an unconditional refresh_field_cache at
+  # every field_cache_every-step boundary of a nested scan. Single
+  # env.step calls outside those drivers re-center every step (correct,
+  # no speedup).
   field_cache: bool = struct.field(pytree_node=False, default=False)
   field_cache_every: int = struct.field(pytree_node=False, default=8)
 
@@ -249,12 +252,15 @@ def init_state(params: EnvParams, atmosphere, t0, x_m, y_m, center_lat,
   return state, obs
 
 
-def step(params: EnvParams, state: EnvState, action) -> StepOutput:
+def step(params: EnvParams, state: EnvState, action,
+         refresh: str = 'auto') -> StepOutput:
   """One agent step (reference balloon_env.py:157-190 +
-  balloon_arena.py:184-202)."""
-  if state.wind.slab is not None:
-    # Single-env path: re-center every step (correctness over speed; the
-    # amortized cadence lives in step_batched, the production path).
+  balloon_arena.py:184-202).
+
+  refresh: 'auto' re-centers the field slab every step (correct,
+  unamortized); 'never' is for scan drivers that re-center at their own
+  chunk boundaries (eval_lib's cadence)."""
+  if state.wind.slab is not None and refresh != 'never':
     state = state.replace(wind=wind_field_lib.refresh_slab(
         state.wind, state.balloon.x_m, state.balloon.y_m))
   balloon = balloon_lib.simulate_step(

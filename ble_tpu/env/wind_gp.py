@@ -139,6 +139,16 @@ def observe(state: WindGPState, x_m, y_m, pressure_pa, elapsed_s,
   growth on arbitrarily long horizons; 1e-2 m/s is 0.3% of SIGMA_EXP and
   <1e-3 in feature units after the 30 m/s magnitude squash.
   """
+  if jax.default_backend() == 'tpu':
+    # Fused single-kernel form: kinv lives in VMEM for the whole update
+    # (one HBM read + one write instead of ~5 streamed matmuls whose tiny
+    # minor dims pad catastrophically under vmap; the round-4 per-stage
+    # profile in docs/benchmarks.md). Same algorithm, hardware-parity
+    # pinned by tests/test_pallas_gp_observe.py.
+    from ble_tpu.ops import pallas_gp_observe
+    return pallas_gp_observe.observe(state, x_m, y_m, pressure_pa,
+                                     elapsed_s, error_u, error_v,
+                                     enabled=enabled)
   t = jnp.asarray(elapsed_s, jnp.float32)
   loc = jnp.stack([jnp.asarray(x_m, jnp.float32),
                    jnp.asarray(y_m, jnp.float32),

@@ -55,10 +55,16 @@ def _kernel(loc_t_ref, active_ref, alpha_ref, kinv_ref, q_ref, pres_ref,
   d = jnp.sqrt(c[None, :] + dp * dp)
   k_star = (wind_gp.SIGMA_EXP_SQUARED * jnp.exp(-d)) * active[None, :]
 
+  # Precision pin (ADVICE r3): the variance is a cancellation of
+  # O(sigma_f^2) terms down to O(sigma_noise^2); Mosaic's default MXU
+  # matmul passes would be orders of magnitude above the result, so both
+  # contractions must run full-f32 (matching wind_gp.query's HIGHEST).
   means = jnp.dot(k_star, alpha_ref[:, :],
-                  preferred_element_type=jnp.float32)  # (N, 2)
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)  # (N, 2)
   v = jnp.dot(k_star, kinv_ref[:, :],
-              preferred_element_type=jnp.float32)  # (N, CAP)
+              preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST)  # (N, CAP)
   var = wind_gp.SIGMA_EXP_SQUARED - jnp.sum(k_star * v, axis=-1,
                                             keepdims=True)
   dev = jnp.clip(var / wind_gp.SIGMA_EXP_SQUARED, 0.0, 1.0)

@@ -37,6 +37,9 @@ def main():
   parser.add_argument('--process_id', type=int, default=None)
   parser.add_argument('--seed', type=int, default=0)
   parser.add_argument('--set', action='append', default=[])
+  parser.add_argument('--no_field_cache', action='store_true',
+                      help='Disable the windowed field-slab cache '
+                      '(EnvParams.field_cache; on by default).')
   args = parser.parse_args()
 
   if args.multihost:
@@ -61,7 +64,7 @@ def main():
   config = learner_lib.TrainConfig()
   config = config_lib.apply_overrides(config, args.set)
 
-  env_params = env_lib.EnvParams()
+  env_params = env_lib.EnvParams(field_cache=not args.no_field_cache)
   if args.wind_field == 'generative':
     from ble_tpu.models import loader
     field_fn = env_lib.make_field_fn('generative',

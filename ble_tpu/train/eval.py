@@ -72,12 +72,16 @@ def main():
                       'bf16 training default (parity/eval mode; use when '
                       'evaluating externally-trained policies -- see '
                       'docs/benchmarks.md "bf16 grid cost").')
+  parser.add_argument('--no_field_cache', action='store_true',
+                      help='Disable the windowed field-slab cache '
+                      '(EnvParams.field_cache; on by default).')
   args = parser.parse_args()
 
   suite = suites.get_eval_suite(args.suite)
   seeds = suite.seeds[args.shard_idx::args.num_shards]
 
-  env_params = env_lib.EnvParams(wind_field_f32=args.f32_grid)
+  env_params = env_lib.EnvParams(wind_field_f32=args.f32_grid,
+                                 field_cache=not args.no_field_cache)
   if args.wind_field == 'generative':
     from ble_tpu.models import loader
     field_fn = env_lib.make_field_fn('generative', loader.load_offlineskies22())

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ble_tpu.env import env as env_lib
+from ble_tpu.env import wind_field as wind_field_lib
 
 
 @dataclasses.dataclass
@@ -107,7 +108,14 @@ def build_eval_fn(env_params: env_lib.EnvParams,
   """
   reset = functools.partial(env_lib.reset, params=env_params,
                             field_fn=field_fn)
-  step = functools.partial(env_lib.step, env_params)
+  # With the field-slab cache on, steps inside the chunked scans run
+  # refresh='never' and the slab re-centers at field_cache_every-step
+  # sub-chunk boundaries below (cond-free cadence; without it the
+  # single-env step re-centers EVERY step, a full grid read PLUS the
+  # slab rebuild -- strictly slower than no cache. ADVICE r3).
+  cached = env_params.field_cache
+  step = functools.partial(env_lib.step, env_params,
+                           refresh='never' if cached else 'auto')
   radius_km = env_params.station_keeping_radius_km
 
   if _parametric:
@@ -177,10 +185,27 @@ def build_eval_fn(env_params: env_lib.EnvParams,
     n_chunks = max_steps // period
     remainder = max_steps - n_chunks * period
 
+    cache_k = env_params.field_cache_every
+    use_cache_cadence = cached and period % cache_k == 0
+
+    def subchunk(carry, sub_keys):
+      env_state = carry[0]
+      env_state = env_state.replace(wind=wind_field_lib.refresh_slab(
+          env_state.wind, env_state.balloon.x_m, env_state.balloon.y_m))
+      return jax.lax.scan(body, (env_state,) + carry[1:], sub_keys)
+
     def chunk(carry, chunk_keys):
       env_state = carry[0]
       env_state = env_state.replace(gp=wind_gp_lib.refresh(env_state.gp))
-      return jax.lax.scan(body, (env_state,) + carry[1:], chunk_keys)
+      carry = (env_state,) + carry[1:]
+      if use_cache_cadence:
+        carry, paths = jax.lax.scan(
+            subchunk, carry,
+            chunk_keys.reshape(period // cache_k, cache_k, -1))
+        paths = None if paths is None else paths.reshape(
+            (period,) + paths.shape[2:])
+        return carry, paths
+      return jax.lax.scan(body, carry, chunk_keys)
 
     carry = (env_state, pstate, action, jnp.bool_(True), acc0)
     if n_chunks:
@@ -192,7 +217,18 @@ def build_eval_fn(env_params: env_lib.EnvParams,
     else:
       paths = None
     if remainder:
-      carry, tail_paths = jax.lax.scan(body, carry, step_keys[-remainder:])
+      # Tail shorter than a GP chunk: per-step slab re-center keeps it
+      # exact without its own cadence bookkeeping (suites use 960 = a
+      # whole number of chunks, so this path is cold).
+      def tail_body(carry, step_key):
+        if cached:
+          env_state = carry[0]
+          env_state = env_state.replace(wind=wind_field_lib.refresh_slab(
+              env_state.wind, env_state.balloon.x_m, env_state.balloon.y_m))
+          carry = (env_state,) + carry[1:]
+        return body(carry, step_key)
+      carry, tail_paths = jax.lax.scan(tail_body, carry,
+                                       step_keys[-remainder:])
       if record_flight_path:
         paths = (tail_paths if paths is None else
                  jnp.concatenate([paths, tail_paths], axis=0))

@@ -71,6 +71,13 @@ class TrainConfig:
   def grad_steps_per_env_step(self) -> int:
     # One sequence sample trains batch_size * seq_len transitions, one
     # n-step sample trains batch_size; hold samples-per-insert constant.
+    # NOTE (round 4): at equal SPI this gives the recurrent learner ~32x
+    # fewer GRAD STEPS per env step than the feedforward one; optimizer
+    # progress tracks grad steps x lr, not transitions touched, so the
+    # round-3 r2d2 run (SPI 8, lr 1e-5, 253k grads) was simply
+    # undertrained and flat. The r2d2 recipe that learns raises SPI
+    # (64) and lr (5e-5) instead of changing this accounting
+    # (results/r2d2_run_r4).
     per_sample = self.replay.batch_size
     if self.agent == 'r2d2':
       per_sample *= max(self.r2d2.seq_len - self.r2d2.burn_in, 1)
@@ -316,8 +323,12 @@ def env_step(config: TrainConfig, env_params: env_lib.EnvParams,
   else:
     mp, actions = ts.mp, rl_actions
 
+  # refresh='never': the slab-cache re-center runs at run_episode_chunk's
+  # scan-chunk boundaries (cond-free cadence). A traced lax.cond on
+  # global_step here would force layout copies of the multi-GB carried
+  # field every step (ADVICE r3; the 18 GB relayout bench.py fixed).
   out = env_lib.step_batched(env_params, ts.env_state, actions,
-                             global_step=ts.env_steps)
+                             refresh='never')
 
   terminal = jnp.logical_and(ts.active, out.done)
   rep = replay_lib.add(
@@ -417,7 +428,30 @@ def run_episode_chunk(config: TrainConfig, env_params: env_lib.EnvParams,
       gp=jax.vmap(wind_gp.refresh)(ts.env_state.gp)))
   def body(ts, _):
     return env_step(config, env_params, ts, grad_transform)
-  return jax.lax.scan(body, ts, None, length=num_steps, unroll=unroll)
+  if not env_params.field_cache:
+    return jax.lax.scan(body, ts, None, length=num_steps, unroll=unroll)
+
+  # Slab-cache cadence, cond-free (same shape as bench.py): an
+  # unconditional re-center at every `field_cache_every`-step boundary of
+  # a nested scan. env_step itself never refreshes (refresh='never').
+  k = env_params.field_cache_every
+  n_chunks, rem = divmod(num_steps, k)
+
+  def cache_chunk(ts, _):
+    ts = ts.replace(env_state=env_lib.refresh_field_cache(ts.env_state))
+    return jax.lax.scan(body, ts, None, length=k, unroll=unroll)
+
+  metrics = None
+  if n_chunks:
+    ts, metrics = jax.lax.scan(cache_chunk, ts, None, length=n_chunks)
+    metrics = jax.tree.map(
+        lambda m: m.reshape((n_chunks * k,) + m.shape[2:]), metrics)
+  if rem:
+    ts = ts.replace(env_state=env_lib.refresh_field_cache(ts.env_state))
+    ts, tail = jax.lax.scan(body, ts, None, length=rem, unroll=unroll)
+    metrics = tail if metrics is None else jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), metrics, tail)
+  return ts, metrics
 
 
 def make_eval_policy(config: TrainConfig, learner_params):

@@ -90,12 +90,17 @@ def main():
                       help='Wall-clock budget; checkpoints and exits.')
   parser.add_argument('--set', action='append', default=[],
                       help='TrainConfig override, e.g. num_envs=512')
+  parser.add_argument('--no_field_cache', action='store_true',
+                      help='Disable the windowed field-slab cache '
+                      '(EnvParams.field_cache; on by default).')
   args = parser.parse_args()
 
   config = learner_lib.TrainConfig(agent=args.agent)
   config = config_lib.apply_overrides(config, args.set)
 
-  env_params = env_lib.EnvParams()
+  # Field-slab cache on by default in production training (bit-exact
+  # below the documented wind bound; tests/test_wind_field_cache.py).
+  env_params = env_lib.EnvParams(field_cache=not args.no_field_cache)
   if args.wind_field == 'generative':
     from ble_tpu.generative import vae
     from ble_tpu.models import loader

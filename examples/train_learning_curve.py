@@ -66,16 +66,17 @@ def main():
                  'tunnel).')
   p.add_argument('--set', action='append', default=[],
                  help='TrainConfig override, e.g. replay.batch_size=512')
-  p.add_argument('--field_cache', action='store_true',
-                 help='Windowed field-slab cache (EnvParams.field_cache): '
-                 'reads a 4x4 lat/lng window per step instead of the full '
-                 'grid. Bit-exact below ~34.7 m/s sustained wind.')
+  p.add_argument('--no_field_cache', action='store_true',
+                 help='Disable the windowed field-slab cache '
+                 '(EnvParams.field_cache, on by default: 4x4 lat/lng '
+                 'window per step, bit-exact below ~34.7 m/s sustained '
+                 'wind).')
   args = p.parse_args()
 
   os.makedirs(args.out, exist_ok=True)
   curve_path = os.path.join(args.out, 'curve.jsonl')
 
-  env_params = env_lib.EnvParams(field_cache=args.field_cache)
+  env_params = env_lib.EnvParams(field_cache=not args.no_field_cache)
   if args.wind_field == 'generative':
     from ble_tpu.models import loader
     decoder_params = loader.load_offlineskies22()

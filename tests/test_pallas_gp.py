@@ -76,3 +76,28 @@ def test_query_column_vmapped():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(dev[i]), np.asarray(d1),
                                atol=1e-6)
+
+
+def test_query_column_tpu_hardware_parity():
+  """The actual Mosaic lowering (not interpret mode) vs the XLA path.
+
+  ADVICE r3 (medium): interpret mode runs full-f32 on CPU, so only a
+  hardware run validates that the MXU contractions keep the variance
+  cancellation at full f32 (precision=HIGHEST in ops/pallas_gp.py).
+  Skipped off-TPU.
+  """
+  import pytest
+  if jax.default_backend() != 'tpu':
+    pytest.skip('requires a real TPU lowering')
+  for seed, n_obs in [(1, 12), (2, 60), (5, 120)]:
+    state, t = _populated_state(jax.random.PRNGKey(seed), n_obs)
+    pres = features_lib.PRESSURE_LEVELS
+    n = pres.shape[0]
+    queries = jnp.stack([jnp.full((n,), 1234.5), jnp.full((n,), -987.0),
+                         pres, jnp.full((n,), t)], axis=-1)
+    ref_means, ref_dev = jax.jit(wind_gp.query)(state, queries)
+    means, dev = pallas_gp.query_column(state, 1234.5, -987.0, t, pres)
+    np.testing.assert_allclose(np.asarray(means), np.asarray(ref_means),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dev), np.asarray(ref_dev),
+                               atol=5e-5)

@@ -1,0 +1,108 @@
+"""Fused Pallas GP observe vs the XLA path (ops/pallas_gp_observe.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ble_tpu.env import wind_gp
+from ble_tpu.ops import pallas_gp_observe
+
+
+def _trajectory(key, n_obs):
+  """A drifting balloon track of (x, y, p, t, eu, ev) observations."""
+  ks = jax.random.split(key, n_obs)
+  x = y = 0.0
+  p = 9000.0
+  rows = []
+  for i in range(n_obs):
+    dx, dy, dp, eu, ev = np.asarray(
+        jax.random.normal(ks[i], (5,)) * jnp.asarray(
+            [2000.0, 2000.0, 150.0, 1.0, 1.0]))
+    x, y, p = x + dx, y + dy, float(np.clip(p + dp, 5500, 13500))
+    rows.append((x, y, p, 180.0 * (i + 1), float(eu), float(ev)))
+  return rows
+
+
+def _assert_state_close(a, b, atol):
+  np.testing.assert_array_equal(np.asarray(a.active), np.asarray(b.active))
+  np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
+  np.testing.assert_allclose(np.asarray(a.locations),
+                             np.asarray(b.locations), atol=1e-6)
+  np.testing.assert_allclose(np.asarray(a.errors), np.asarray(b.errors),
+                             atol=1e-6)
+  np.testing.assert_allclose(np.asarray(a.kinv), np.asarray(b.kinv),
+                             atol=atol)
+  np.testing.assert_allclose(np.asarray(a.alpha), np.asarray(b.alpha),
+                             atol=atol)
+
+
+def test_observe_matches_xla_incremental():
+  """Step-by-step parity over a 150-obs track (covers ring eviction at
+  CAPACITY=128 and in-window churn)."""
+  ref = wind_gp.init()
+  fused = wind_gp.init()
+  obs_ref = jax.jit(wind_gp.observe)
+  for row in _trajectory(jax.random.PRNGKey(0), 150):
+    ref = obs_ref(ref, *row)
+    fused = pallas_gp_observe.observe(fused, *row, interpret=True)
+    _assert_state_close(fused, ref, atol=5e-4)
+
+
+def test_observe_expiry_parity():
+  """Time jumps past the 6 h horizon exercise the Schur downdates."""
+  ref = wind_gp.init()
+  fused = wind_gp.init()
+  obs_ref = jax.jit(wind_gp.observe)
+  rows = _trajectory(jax.random.PRNGKey(1), 30)
+  # Re-time the tail so earlier observations expire two-at-a-time.
+  rows = rows[:20] + [(x, y, p, t + 6.5 * 3600, eu, ev)
+                      for (x, y, p, t, eu, ev) in rows[20:]]
+  for row in rows:
+    ref = obs_ref(ref, *row)
+    fused = pallas_gp_observe.observe(fused, *row, interpret=True)
+  _assert_state_close(fused, ref, atol=5e-4)
+
+
+def test_observe_disabled_is_noop():
+  state = wind_gp.init()
+  for row in _trajectory(jax.random.PRNGKey(2), 10):
+    state = pallas_gp_observe.observe(state, *row, interpret=True)
+  frozen = pallas_gp_observe.observe(state, 1.0, 2.0, 9000.0, 99999.0,
+                                     0.5, -0.5, enabled=False,
+                                     interpret=True)
+  _assert_state_close(frozen, state, atol=0.0)
+
+
+def test_observe_posterior_matches():
+  """End-to-end check through the query: posteriors agree."""
+  ref = wind_gp.init()
+  fused = wind_gp.init()
+  obs_ref = jax.jit(wind_gp.observe)
+  for row in _trajectory(jax.random.PRNGKey(3), 60):
+    ref = obs_ref(ref, *row)
+    fused = pallas_gp_observe.observe(fused, *row, interpret=True)
+  pres = jnp.linspace(5500.0, 13500.0, 37)
+  n = pres.shape[0]
+  q = jnp.stack([jnp.full((n,), 500.0), jnp.full((n,), -1200.0), pres,
+                 jnp.full((n,), 60 * 180.0)], axis=-1)
+  m_ref, d_ref = jax.jit(wind_gp.query)(ref, q)
+  m_f, d_f = jax.jit(wind_gp.query)(fused, q)
+  np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_ref), atol=1e-4)
+  np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_ref), atol=1e-5)
+
+
+def test_observe_tpu_hardware_parity():
+  """The real Mosaic lowering vs the XLA path. Skipped off-TPU."""
+  import pytest
+  if jax.default_backend() != 'tpu':
+    pytest.skip('requires a real TPU lowering')
+  ref = wind_gp.init()
+  fused = wind_gp.init()
+  obs_ref = jax.jit(wind_gp.observe)
+  for row in _trajectory(jax.random.PRNGKey(4), 140):
+    ref = obs_ref(ref, *row)
+    fused = pallas_gp_observe.observe(fused, *row)
+  np.testing.assert_allclose(np.asarray(fused.kinv), np.asarray(ref.kinv),
+                             atol=5e-3)
+  np.testing.assert_allclose(np.asarray(fused.alpha), np.asarray(ref.alpha),
+                             atol=5e-3)

@@ -121,3 +121,54 @@ def test_single_env_step_refreshes_every_step():
     s_c, s_b = out_c.state, out_b.state
     np.testing.assert_array_equal(np.asarray(out_c.observation),
                                   np.asarray(out_b.observation))
+
+
+def test_eval_lib_cached_matches_uncached():
+  """eval_lib's chunked episode scan with the slab cadence (VERDICT r3
+  item 7 / ADVICE r3): field_cache on == off through build_eval_fn,
+  including a non-multiple tail (per-step refresh path)."""
+  from ble_tpu.agents import station_seeker
+  from ble_tpu.train import eval_lib
+
+  field_fn = env_lib.make_field_fn('static')
+  seeds = jnp.arange(3, dtype=jnp.int32)
+
+  def run(params, max_steps):
+    fn = eval_lib.build_eval_fn(
+        params, field_fn, lambda key: (),
+        lambda state, obs, key: (state, station_seeker.pick_action(obs)),
+        max_steps=max_steps)
+    return jax.tree.map(np.asarray, fn(seeds))
+
+  for max_steps in (96, 70):  # 96 = chunked; 70 = 64-chunk + 6-step tail.
+    base = run(env_lib.EnvParams(), max_steps)
+    cached = run(env_lib.EnvParams(field_cache=True), max_steps)
+    for k in ('cumulative_reward', 'time_within_radius', 'final_timestep'):
+      np.testing.assert_array_equal(cached[k], base[k], err_msg=k)
+
+
+def test_learner_chunk_cached_matches_uncached():
+  """run_episode_chunk's nested slab cadence: training trajectory with
+  field_cache on == off (agent-free comparison via the env metrics)."""
+  from ble_tpu.agents import replay as replay_lib
+  from ble_tpu.train import learner as learner_lib
+
+  field_fn = env_lib.make_field_fn('static')
+  cfg = learner_lib.TrainConfig(
+      agent='quantile', num_envs=4, episode_length=48,
+      use_marco_polo=False,
+      replay=replay_lib.ReplayConfig(ring_len=64, batch_size=4))
+
+  def run(params):
+    ts = learner_lib.init_train_state(jax.random.PRNGKey(5), params,
+                                      field_fn, cfg)
+    # 20 steps: two 8-step cache chunks + a 4-step remainder.
+    ts, metrics = jax.jit(functools.partial(
+        learner_lib.run_episode_chunk, cfg, params, num_steps=20))(ts)
+    return np.asarray(metrics['reward']), np.asarray(ts.env_state.balloon.x_m)
+
+  base_r, base_x = run(env_lib.EnvParams())
+  c_r, c_x = run(env_lib.EnvParams(field_cache=True))
+  assert base_r.shape == (20,)
+  np.testing.assert_array_equal(c_r, base_r)
+  np.testing.assert_array_equal(c_x, base_x)
