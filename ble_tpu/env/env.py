@@ -320,7 +320,63 @@ def step_batched(params: EnvParams, state: EnvState, actions,
             params.balloon, a, b, u, v, act))(
                 state.atmosphere, state.balloon, state.wind_u, state.wind_v,
                 actions)
+  if jax.default_backend() == 'tpu':
+    return _post_physics_batched(params, state, balloon)
   return jax.vmap(functools.partial(_post_physics, params))(state, balloon)
+
+
+def _post_physics_batched(params: EnvParams, state: EnvState,
+                          balloon: balloon_lib.BalloonState) -> StepOutput:
+  """Batched twin of `_post_physics` for the TPU path.
+
+  Identical math; the only structural difference is that the GP observe
+  runs through the E_BLK-blocked Pallas kernel
+  (ops/pallas_gp_observe.observe_batched) on the WHOLE env batch in one
+  pallas_call (one grid program per 8 envs) instead of one program per
+  env via the vmap rule -- the per-program DMA setup of the 13 small
+  buffers dominates at one env per program (measured; docs/benchmarks.md
+  round-4 profile)."""
+  from ble_tpu.ops import pallas_gp_observe
+  was_ok = state.balloon.status == balloon_lib.STATUS_OK
+  elapsed = balloon.time_elapsed_s.astype(jnp.float32)
+  wind_u, wind_v = jax.vmap(wind_field_lib.get_ground_truth)(
+      state.wind, balloon.x_m, balloon.y_m, balloon.pressure_pa, elapsed)
+
+  state = state.replace(
+      balloon=balloon,
+      wind_u=wind_u,
+      wind_v=wind_v,
+      sunrise_s=_advance_past(state.sunrise_s, balloon.time_s),
+      sunset_s=_advance_past(state.sunset_s, balloon.time_s),
+      steps=state.steps + 1)
+
+  forecast_u, forecast_v = jax.vmap(wind_field_lib.get_forecast)(
+      state.wind, balloon.x_m, balloon.y_m, balloon.pressure_pa, elapsed)
+  gp = pallas_gp_observe.observe_batched(
+      state.gp, balloon.x_m, balloon.y_m, balloon.pressure_pa, elapsed,
+      wind_u - forecast_u, wind_v - forecast_v, enabled=was_ok)
+  state = state.replace(gp=gp)
+  obs = jax.vmap(functools.partial(features_lib.get_features,
+                                   params.balloon))(
+      state.balloon, gp, state.wind, state.atmosphere, state.sunrise_s,
+      state.sunset_s)
+
+  excess = balloon_lib.excess_energy(params.balloon, balloon)
+  reward = reward_function(params, balloon, excess)
+
+  info = {
+      'out_of_power': balloon.status == balloon_lib.STATUS_OUT_OF_POWER,
+      'envelope_burst': balloon.status == balloon_lib.STATUS_BURST,
+      'zeropressure': balloon.status == balloon_lib.STATUS_ZEROPRESSURE,
+      'time_elapsed_s': balloon.time_elapsed_s,
+      'x_km': balloon.x_m / 1000.0,
+      'y_km': balloon.y_m / 1000.0,
+      'pressure_pa': balloon.pressure_pa,
+      'superpressure_pa': balloon.superpressure_pa,
+      'battery_soc': balloon_lib.battery_soc(params.balloon, balloon),
+  }
+  done = balloon.status != balloon_lib.STATUS_OK
+  return StepOutput(state, obs, reward, done, info)
 
 
 def _post_physics(params: EnvParams, state: EnvState,

@@ -10,10 +10,20 @@ complete update (expiries, ring eviction, bordered insert, alpha) there,
 and writes kinv' back: HBM traffic drops to one read + one write of kinv
 plus the small tables.
 
-Mirrors ble_tpu/env/wind_gp.observe exactly (same basis-space
-bookkeeping, same exact-arithmetic clamps, same rank-8 real-space form);
-tests/test_pallas_gp_observe.py pins bit-level agreement in interpret
-mode and f32-tolerance agreement on hardware.
+Applies the SAME sequential clamped rank-1 updates as
+ble_tpu/env/wind_gp.observe, in the same order -- but DIRECTLY on the
+VMEM-resident inverse (the XLA path's 9-dimensional basis bookkeeping
+exists only to batch those updates into few HBM-streamed matmuls, which
+is pointless in VMEM and costs ~50 tiny lane-relayout ops).
+
+The production entry is `observe_batched`: E_BLK envs per grid program --
+a measured pass-through kernel with this I/O signature costs ~1.9
+us/env-step at one env per program (13 small DMA setups x one program
+per env), so the batch is blocked and Mosaic's grid pipelining overlaps
+the block DMAs with compute.
+
+tests/test_pallas_gp_observe.py pins f32-tolerance agreement against the
+XLA path in interpret mode and on hardware, for both entries.
 """
 
 import functools
@@ -28,41 +38,35 @@ from ble_tpu.env import wind_gp
 CAP = wind_gp.CAPACITY
 _PREC = jax.lax.Precision.HIGHEST
 
+# Envs per grid program (amortizes per-program DMA setup; VMEM per
+# program = E_BLK * ~136 KiB * in+out, far under the ~16 MiB budget).
+E_BLK = 8
 
-def _kernel(obs_ref, loc_ref, err_ref, active_ref, kinv_ref, alpha_ref,
-            count_ref,
-            loc_out, err_out, active_out, kinv_out, alpha_out, count_out):
-  """One env's complete observe (vmap adds the env grid dimension).
 
-  Refs: obs (1, 8) = [x, y, p, t, err_u, err_v, enabled, pad];
-  loc (CAP, 4); err (CAP, 2); active (1, CAP) f32 0/1; kinv (CAP, CAP);
-  alpha (CAP, 2); count (1, 1) i32.
+def _env_body(x, y, p, t, enabled, loc_in, err_in, active, kinv, alpha_in,
+              count):
+  """One env's complete observe on VALUES (refs are sliced by callers).
+
+  Returns (locations, errors, active_final, kinv_new, alpha, count_new),
+  each already select-guarded by `enabled`.
   """
-  x = obs_ref[0, 0]
-  y = obs_ref[0, 1]
-  p = obs_ref[0, 2]
-  t = obs_ref[0, 3]
-  enabled = obs_ref[0, 6] > 0.5
-
-  active = active_ref[0, :]  # (CAP,) f32 0/1.
-  kinv = kinv_ref[:, :]
   iota = jax.lax.broadcasted_iota(jnp.int32, (CAP,), 0)
 
-  # --- Slot bookkeeping (wind_gp.observe lines: stale expiry, ring slot).
+  # --- Slot bookkeeping (wind_gp.observe: stale expiry, ring slot).
   # First-stale-index via f32 min-reduction (Mosaic's argmax lowering is
   # f32-only and its tie rule is not guaranteed; min(where(stale, i, CAP))
   # is branchless and picks the lowest index exactly like jnp.argmax on a
   # bool mask). No stale slot -> index CAP -> the one-hot is all zero.
   iota_f = iota.astype(jnp.float32)
   stale = jnp.logical_and(active > 0.5,
-                          (t - loc_ref[:, 3]) >= wind_gp.TIME_HORIZON_S)
+                          (t - loc_in[:, 3]) >= wind_gp.TIME_HORIZON_S)
   first1 = jnp.min(jnp.where(stale, iota_f, jnp.float32(CAP)))
   e1 = (iota_f == first1).astype(jnp.float32)
   stale2 = jnp.logical_and(stale, e1 < 0.5)
   first2 = jnp.min(jnp.where(stale2, iota_f, jnp.float32(CAP)))
   e2 = (iota_f == first2).astype(jnp.float32)
 
-  slot = count_ref[0, 0] % CAP
+  slot = count % CAP
   slot_e = (iota == slot).astype(jnp.float32)
   removed12 = jnp.logical_or(e1 > 0.5, e2 > 0.5)
   active_after_rm = jnp.where(removed12, 0.0, active)
@@ -71,106 +75,166 @@ def _kernel(obs_ref, loc_ref, err_ref, active_ref, kinv_ref, alpha_ref,
   active_pre_insert = jnp.where(eo > 0.5, 0.0, active_after_rm)
   active_final = jnp.maximum(active_pre_insert, slot_e)
 
-  # Branchless row replacement at `slot` (dynamic_update_slice equivalent).
+  # Branchless row replacement at `slot` (dynamic_update_slice
+  # equivalent; the error row is inserted by _finish).
   sm = slot_e[:, None]
-  new_loc_row = jnp.concatenate([obs_ref[0, 0:4][None, :]] * 1, axis=0)
-  locations = loc_ref[:, :] * (1.0 - sm) + sm * new_loc_row
-  errors = (err_ref[:, :] * (1.0 - sm) +
-            sm * obs_ref[0, 4:6][None, :])
-  targets = errors * active_final[:, None]
+  new_row = jnp.stack([x, y, p, t])[None, :]
+  locations = loc_in * (1.0 - sm) + sm * new_row
 
   # --- New kernel column vs the post-removal active set.
   lsx, lsy, lsp, lst = (357000.0, 357000.0, 326.0, 34560.0)
-  dx = (x - loc_ref[:, 0]) / lsx
-  dy = (y - loc_ref[:, 1]) / lsy
-  dp = (p - loc_ref[:, 2]) / lsp
-  dt = (t - loc_ref[:, 3]) / lst
+  dx = (x - loc_in[:, 0]) / lsx
+  dy = (y - loc_in[:, 1]) / lsy
+  dp = (p - loc_in[:, 2]) / lsp
+  dt = (t - loc_in[:, 3]) / lst
   d = jnp.sqrt(dx * dx + dy * dy + dp * dp + dt * dt + 1e-12)
   v = (wind_gp.SIGMA_EXP_SQUARED * jnp.exp(-d)) * active_pre_insert
 
-  u_mat = jnp.stack([e1, e2, eo, slot_e, v], axis=1)  # (CAP, 5)
-
-  m_mat = jnp.dot(kinv, u_mat, preferred_element_type=jnp.float32,
-                  precision=_PREC)  # (CAP, 5)
-  s_mat = jnp.dot(u_mat.T, m_mat, preferred_element_type=jnp.float32,
-                  precision=_PREC)  # (5, 5)
-  t_mat = jnp.dot(u_mat[:, :4].T, u_mat, preferred_element_type=jnp.float32,
-                  precision=_PREC)  # (4, 5)
-
   d0 = wind_gp.SIGMA_EXP_SQUARED + wind_gp.SIGMA_NOISE_SQUARED
-  eye9 = jnp.eye(9, dtype=jnp.float32)
 
-  def q_of(col):
-    return jnp.concatenate([s_mat[:, col], t_mat[:, col]])
+  # --- DIRECT sequential rank-1 updates on the VMEM-resident inverse.
+  def matcol(mat, e):  # (CAP, CAP), (CAP,) -> (CAP, 1) = mat @ e.
+    return jnp.sum(mat * e[None, :], axis=1, keepdims=True)
 
-  gs = []
-  cs = []
+  def vdot(a_col, b_col):  # (CAP, 1) x (CAP, 1) -> scalar a.b.
+    # (1, CAP) @ (CAP, 1) MXU dot: Mosaic's vector multi_reduction
+    # cannot lower the chained (CAP,)->scalar lane reduction here
+    # ("Offset change"), the 2-D dot can.
+    return jnp.dot(a_col.T, b_col, preferred_element_type=jnp.float32,
+                   precision=_PREC)[0, 0]
 
-  def z_matvec(q):
-    r = jnp.zeros((9,), jnp.float32)
-    for g, c in zip(gs, cs):
-      r = r + c * g * jnp.sum(g * q)
-    return r
-
-  def downdate(col_e, removing):
-    q = q_of(col_e)
-    g_col = eye9[col_e] + z_matvec(q)
-    dd = jnp.sum(q * g_col)
+  def remove(kinv, e):
+    """Schur downdate of the slot whose one-hot is `e` (zero vector ->
+    exact no-op). Clamp: d = (K^-1)_ss >= 1/K_ss in exact arithmetic;
+    keep rounding from flipping the pivot sign or exploding."""
+    e_col = e[:, None]
+    w = matcol(kinv, e)
+    dd = vdot(w, e_col)
     d_min = 1.0 / d0
+    removing = jnp.sum(e) > 0.5
     safe_d = jnp.where(jnp.abs(dd) > d_min, dd,
                        jnp.where(removing, d_min, 1.0))
-    gs.append(jnp.where(removing, g_col, 0.0))
-    cs.append(-1.0 / safe_d)
-    gs.append(eye9[5 + col_e])
-    cs.append(jnp.float32(1.0))
+    kinv = kinv - (1.0 / safe_d) * (w * w.T)
+    # Restore the identity slot: + e e^T (zero when not removing).
+    return kinv + e_col * e[None, :]
 
-  downdate(0, jnp.sum(e1) > 0)
-  downdate(1, jnp.sum(e2) > 0)
-  downdate(2, jnp.sum(eo) > 0)
+  kinv_run = remove(kinv, e1)
+  kinv_run = remove(kinv_run, e2)
+  kinv_run = remove(kinv_run, eo)
 
-  q_v = q_of(4)
-  g_u = eye9[4] + z_matvec(q_v)
-  schur = jnp.maximum(d0 - jnp.sum(q_v * g_u),
+  # Bordered insert at `slot` (an identity row post-removals): exact
+  # Schur >= sigma_noise^2 (posterior variance at an observed point
+  # cannot fall below the noise floor).
+  u = matcol(kinv_run, v)
+  schur = jnp.maximum(d0 - vdot(u, v[:, None]),
                       wind_gp.SIGMA_NOISE_SQUARED)
-  gs.append(g_u - eye9[8])
-  cs.append(1.0 / schur)
-  gs.append(eye9[8])
-  cs.append(jnp.float32(-1.0))
+  yv = u - slot_e[:, None]
+  kinv_new = (kinv_run + (1.0 / schur) * (yv * yv.T) -
+              slot_e[:, None] * slot_e[None, :])
 
-  g_mat = jnp.stack(gs, axis=1)  # (9, 8)
-  c_vec = jnp.stack(cs)  # (8,)
+  return (locations, active_final, kinv_new, sm,
+          jnp.where(enabled, count + 1, count))
 
-  b_mat = jnp.concatenate([m_mat, u_mat[:, :4]], axis=1)  # (CAP, 9)
-  w_mat = jnp.dot(b_mat, g_mat, preferred_element_type=jnp.float32,
-                  precision=_PREC)  # (CAP, 8)
-  kinv_new = kinv + jnp.dot(w_mat * c_vec[None, :], w_mat.T,
-                            preferred_element_type=jnp.float32,
-                            precision=_PREC)
+
+def _finish(enabled, eu, ev, sm, active_final, err_mid, kinv_new,
+            loc_mid, loc_in, err_in, active, kinv, alpha_in):
+  """Error-row insert + alpha + enabled-select (shared by both kernels)."""
+  err_new = jnp.stack([eu, ev])[None, :]
+  errors = err_mid * (1.0 - sm) + sm * err_new
+  targets = errors * active_final[:, None]
+  # alpha recomputed exactly from the new inverse (one MXU matmul;
+  # Mosaic's gather rule cannot lower the lane-broadcast form).
   alpha = jnp.dot(kinv_new, targets, preferred_element_type=jnp.float32,
                   precision=_PREC)
-
   # enabled=False -> exact no-op (frozen post-terminal balloons).
-  loc_out[:, :] = jnp.where(enabled, locations, loc_ref[:, :])
-  err_out[:, :] = jnp.where(enabled, errors, err_ref[:, :])
-  active_out[0, :] = jnp.where(enabled, active_final, active)
-  kinv_out[:, :] = jnp.where(enabled, kinv_new, kinv)
-  alpha_out[:, :] = jnp.where(enabled, alpha, alpha_ref[:, :])
+  return (jnp.where(enabled, loc_mid, loc_in),
+          jnp.where(enabled, errors, err_in),
+          jnp.where(enabled, active_final, active),
+          jnp.where(enabled, kinv_new, kinv),
+          jnp.where(enabled, alpha, alpha_in))
+
+
+def _run_one(obs_row, loc_in, err_in, active, kinv, alpha_in, count):
+  """obs_row (8,): [x, y, p, t, err_u, err_v, enabled, pad]."""
+  x, y, p, t = obs_row[0], obs_row[1], obs_row[2], obs_row[3]
+  eu, ev = obs_row[4], obs_row[5]
+  enabled = obs_row[6] > 0.5
+  (loc_mid, active_final, kinv_new, sm,
+   count_new) = _env_body(x, y, p, t, enabled, loc_in, err_in, active,
+                          kinv, alpha_in, count)
+  loc, err, act, kv, al = _finish(enabled, eu, ev, sm, active_final,
+                                  err_in, kinv_new, loc_mid, loc_in,
+                                  err_in, active, kinv, alpha_in)
+  return loc, err, act, kv, al, count_new
+
+
+def _kernel(obs_ref, loc_ref, err_ref, active_ref, kinv_ref, alpha_ref,
+            count_ref,
+            loc_out, err_out, active_out, kinv_out, alpha_out, count_out):
+  """Single-env kernel (vmap adds the env grid dimension).
+
+  Refs: obs (1, 8); loc (CAP, 4); err (CAP, 2); active (1, CAP) f32 0/1;
+  kinv (CAP, CAP); alpha (CAP, 2); count (1, 1) i32.
+  """
+  loc, err, act, kv, al, count_new = _run_one(
+      obs_ref[0, :], loc_ref[:, :], err_ref[:, :], active_ref[0, :],
+      kinv_ref[:, :], alpha_ref[:, :], count_ref[0, 0])
+  loc_out[:, :] = loc
+  err_out[:, :] = err
+  active_out[0, :] = act
+  kinv_out[:, :] = kv
+  alpha_out[:, :] = al
   # (1, 1)-shaped store: Mosaic cannot store scalars to VMEM.
-  count_out[:, :] = count_ref[:, :] + jnp.where(enabled, 1, 0)
+  count_out[:, :] = count_new.reshape(1, 1)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
-def observe(state: wind_gp.WindGPState, x_m, y_m, pressure_pa, elapsed_s,
-            error_u, error_v, enabled=True,
-            interpret: bool = False) -> wind_gp.WindGPState:
-  """Drop-in fused twin of wind_gp.observe (single env; vmap for batches)."""
-  obs = jnp.stack([
+def _kernel_blocked(obs_ref, loc_ref, err_ref, active_ref, kinv_ref,
+                    alpha_ref, count_ref,
+                    loc_out, err_out, active_out, kinv_out, alpha_out,
+                    count_out):
+  """E_BLK envs per program; statically unrolled so Mosaic can
+  interleave the independent per-env chains.
+
+  Refs: obs (E_BLK, 8); loc (E_BLK, CAP, 4); err (E_BLK, CAP, 2);
+  active (E_BLK, CAP); kinv (E_BLK, CAP, CAP); alpha (E_BLK, CAP, 2);
+  count (E_BLK, 1) i32.
+  """
+  counts = []
+  for e in range(E_BLK):
+    loc, err, act, kv, al, count_new = _run_one(
+        obs_ref[e, :], loc_ref[e], err_ref[e], active_ref[e, :],
+        kinv_ref[e], alpha_ref[e], count_ref[e, 0])
+    loc_out[e] = loc
+    err_out[e] = err
+    active_out[e, :] = act
+    kinv_out[e] = kv
+    alpha_out[e] = al
+    counts.append(count_new)
+  count_out[:, :] = jnp.stack(counts).reshape(E_BLK, 1)
+
+
+def _pack_obs(x_m, y_m, pressure_pa, elapsed_s, error_u, error_v, enabled):
+  return jnp.stack([
       jnp.asarray(x_m, jnp.float32), jnp.asarray(y_m, jnp.float32),
       jnp.asarray(pressure_pa, jnp.float32),
       jnp.asarray(elapsed_s, jnp.float32),
       jnp.asarray(error_u, jnp.float32), jnp.asarray(error_v, jnp.float32),
       jnp.asarray(enabled, jnp.float32) * jnp.float32(1.0),
-      jnp.float32(0.0)])[None, :]  # (1, 8)
+      jnp.zeros_like(jnp.asarray(x_m, jnp.float32))], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def observe(state: wind_gp.WindGPState, x_m, y_m, pressure_pa, elapsed_s,
+            error_u, error_v, enabled=True,
+            interpret: bool = None) -> wind_gp.WindGPState:
+  """Drop-in fused twin of wind_gp.observe (single env; vmap for batches).
+
+  interpret=None resolves to "not on TPU" (the interpreter keeps the
+  kernel testable on CPU)."""
+  if interpret is None:
+    interpret = jax.default_backend() != 'tpu'
+  obs = _pack_obs(x_m, y_m, pressure_pa, elapsed_s, error_u, error_v,
+                  enabled)[None, :]  # (1, 8)
 
   out_shapes = (
       jax.ShapeDtypeStruct((CAP, 4), jnp.float32),   # locations
@@ -192,3 +256,67 @@ def observe(state: wind_gp.WindGPState, x_m, y_m, pressure_pa, elapsed_s,
   return wind_gp.WindGPState(
       locations=loc, errors=err, active=active[0] > 0.5, kinv=kinv,
       alpha=alpha, count=count[0, 0])
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def observe_batched(state: wind_gp.WindGPState, x_m, y_m, pressure_pa,
+                    elapsed_s, error_u, error_v, enabled=True,
+                    interpret: bool = None) -> wind_gp.WindGPState:
+  """Whole-batch observe: E_BLK envs per grid program.
+
+  `state` leaves carry a leading (E,) env axis. Falls back to the vmapped
+  single-env kernel when E is not a multiple of E_BLK. interpret=None
+  resolves to "not on TPU" (CPU-testable, see env._post_physics_batched).
+  """
+  if interpret is None:
+    interpret = jax.default_backend() != 'tpu'
+  n = state.kinv.shape[0]
+  if n % E_BLK:
+    en = jnp.broadcast_to(jnp.asarray(enabled), (n,))
+    return jax.vmap(
+        lambda s, a, b, c, d, e, f, g: observe(s, a, b, c, d, e, f, g,
+                                               interpret=interpret))(
+        state, jnp.broadcast_to(jnp.asarray(x_m, jnp.float32), (n,)),
+        jnp.broadcast_to(jnp.asarray(y_m, jnp.float32), (n,)),
+        jnp.broadcast_to(jnp.asarray(pressure_pa, jnp.float32), (n,)),
+        jnp.broadcast_to(jnp.asarray(elapsed_s, jnp.float32), (n,)),
+        jnp.broadcast_to(jnp.asarray(error_u, jnp.float32), (n,)),
+        jnp.broadcast_to(jnp.asarray(error_v, jnp.float32), (n,)), en)
+
+  bc = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32), (n,))
+  obs = _pack_obs(bc(x_m), bc(y_m), bc(pressure_pa), bc(elapsed_s),
+                  bc(error_u), bc(error_v),
+                  jnp.broadcast_to(jnp.asarray(enabled), (n,)))  # (E, 8)
+
+  grid = (n // E_BLK,)
+  def bs(shape):
+    return pl.BlockSpec((E_BLK,) + shape,
+                        lambda i: (i,) + (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+  out_shapes = (
+      jax.ShapeDtypeStruct((n, CAP, 4), jnp.float32),
+      jax.ShapeDtypeStruct((n, CAP, 2), jnp.float32),
+      jax.ShapeDtypeStruct((n, CAP), jnp.float32),
+      jax.ShapeDtypeStruct((n, CAP, CAP), jnp.float32),
+      jax.ShapeDtypeStruct((n, CAP, 2), jnp.float32),
+      jax.ShapeDtypeStruct((n, 1), jnp.int32),
+  )
+  in_specs = [bs((8,)), bs((CAP, 4)), bs((CAP, 2)), bs((CAP,)),
+              bs((CAP, CAP)), bs((CAP, 2)), bs((1,))]
+  out_specs = [bs((CAP, 4)), bs((CAP, 2)), bs((CAP,)), bs((CAP, CAP)),
+               bs((CAP, 2)), bs((1,))]
+  loc, err, active, kinv, alpha, count = pl.pallas_call(
+      _kernel_blocked,
+      grid=grid,
+      out_shape=out_shapes,
+      in_specs=in_specs,
+      out_specs=out_specs,
+      interpret=interpret,
+      compiler_params=None if interpret else pltpu.CompilerParams(
+          dimension_semantics=('parallel',)),
+  )(obs, state.locations, state.errors,
+    state.active.astype(jnp.float32), state.kinv, state.alpha,
+    state.count.reshape(n, 1))
+  return wind_gp.WindGPState(
+      locations=loc, errors=err, active=active > 0.5, kinv=kinv,
+      alpha=alpha, count=count[:, 0])

@@ -38,14 +38,21 @@ def _assert_state_close(a, b, atol):
 
 def test_observe_matches_xla_incremental():
   """Step-by-step parity over a 150-obs track (covers ring eviction at
-  CAPACITY=128 and in-window churn)."""
+  CAPACITY=128 and in-window churn).
+
+  2e-3 atol: the kernel applies the SAME sequential rank-1 updates but
+  accumulates in a different order (VPU lane reductions vs the XLA
+  path's combined rank-8 HIGHEST matmul); both drift from the exact
+  inverse at the same f32 rate (~1e-2 over an un-refreshed episode,
+  wind_gp.observe docstring) and both are pinned by the 64-step exact
+  refresh in production."""
   ref = wind_gp.init()
   fused = wind_gp.init()
   obs_ref = jax.jit(wind_gp.observe)
   for row in _trajectory(jax.random.PRNGKey(0), 150):
     ref = obs_ref(ref, *row)
     fused = pallas_gp_observe.observe(fused, *row, interpret=True)
-    _assert_state_close(fused, ref, atol=5e-4)
+    _assert_state_close(fused, ref, atol=2e-3)
 
 
 def test_observe_expiry_parity():
@@ -87,8 +94,10 @@ def test_observe_posterior_matches():
                  jnp.full((n,), 60 * 180.0)], axis=-1)
   m_ref, d_ref = jax.jit(wind_gp.query)(ref, q)
   m_f, d_f = jax.jit(wind_gp.query)(fused, q)
-  np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_ref), atol=1e-4)
-  np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_ref), atol=1e-5)
+  # 2e-3 m/s: reduction-order rounding (see the incremental test note);
+  # well under the incremental path's own ~1e-2 un-refreshed drift.
+  np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_ref), atol=2e-3)
+  np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_ref), atol=2e-4)
 
 
 def test_observe_tpu_hardware_parity():
@@ -106,3 +115,34 @@ def test_observe_tpu_hardware_parity():
                              atol=5e-3)
   np.testing.assert_allclose(np.asarray(fused.alpha), np.asarray(ref.alpha),
                              atol=5e-3)
+
+
+def test_observe_batched_matches_single():
+  """The E_BLK-blocked grid kernel == the single-env kernel, including a
+  mixed enabled mask and a non-multiple-of-E_BLK fallback batch."""
+  for n in (16, 10):  # 16 = blocked path (E_BLK=8); 10 = vmap fallback.
+    ref = wind_gp.init()
+    b = jax.tree.map(lambda x: jnp.broadcast_to(x, (n,) + x.shape).copy(),
+                     ref)
+    singles = [ref for _ in range(n)]
+    key = jax.random.PRNGKey(7)
+    for step in range(6):
+      key, k = jax.random.split(key)
+      xs, ys, eus, evs = jax.random.normal(k, (4, n)) * 1000.0
+      ps = jnp.full((n,), 9000.0)
+      ts = jnp.full((n,), 180.0 * (step + 1))
+      en = jnp.arange(n) % 3 != 0  # Mixed enabled lanes.
+      b = pallas_gp_observe.observe_batched(
+          b, xs, ys, ps, ts, eus * 1e-3, evs * 1e-3, en, interpret=True)
+      singles = [
+          pallas_gp_observe.observe(
+              singles[i], xs[i], ys[i], ps[i], ts[i], eus[i] * 1e-3,
+              evs[i] * 1e-3, en[i], interpret=True)
+          for i in range(n)
+      ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *singles)
+    for name in ('locations', 'errors', 'active', 'kinv', 'alpha', 'count'):
+      np.testing.assert_allclose(
+          np.asarray(getattr(b, name), np.float32),
+          np.asarray(getattr(stacked, name), np.float32), atol=1e-6,
+          err_msg=f'{name} n={n}')

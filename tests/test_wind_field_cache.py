@@ -172,3 +172,38 @@ def test_learner_chunk_cached_matches_uncached():
   assert base_r.shape == (20,)
   np.testing.assert_array_equal(c_r, base_r)
   np.testing.assert_array_equal(c_x, base_x)
+
+
+def test_post_physics_batched_matches_vmapped():
+  """env._post_physics_batched (the TPU path with the blocked GP kernel,
+  here in interpret mode) == vmap(_post_physics) on the same states."""
+  import functools as ft
+  from ble_tpu.env import balloon as balloon_lib
+
+  n = 8
+  params = env_lib.EnvParams()
+  field_fn = env_lib.make_field_fn('static')
+  keys = jax.random.split(jax.random.PRNGKey(3), n)
+  state, obs = jax.jit(jax.vmap(
+      ft.partial(env_lib.reset, params=params, field_fn=field_fn)))(keys)
+  # One physics step to produce a fresh balloon.
+  balloon = jax.vmap(lambda a, b, u, v: balloon_lib.simulate_step(
+      params.balloon, a, b, u, v, jnp.int32(2)))(
+          state.atmosphere, state.balloon, state.wind_u, state.wind_v)
+
+  ref = jax.jit(jax.vmap(ft.partial(env_lib._post_physics, params)))(
+      state, balloon)
+  got = jax.jit(ft.partial(env_lib._post_physics_batched, params))(
+      state, balloon)
+
+  np.testing.assert_allclose(np.asarray(got.observation),
+                             np.asarray(ref.observation), atol=2e-5)
+  np.testing.assert_array_equal(np.asarray(got.reward),
+                                np.asarray(ref.reward))
+  np.testing.assert_array_equal(np.asarray(got.done), np.asarray(ref.done))
+  np.testing.assert_allclose(np.asarray(got.state.gp.kinv),
+                             np.asarray(ref.state.gp.kinv), atol=5e-4)
+  np.testing.assert_allclose(np.asarray(got.state.gp.alpha),
+                             np.asarray(ref.state.gp.alpha), atol=5e-4)
+  np.testing.assert_array_equal(np.asarray(got.state.gp.active),
+                                np.asarray(ref.state.gp.active))
