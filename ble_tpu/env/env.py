@@ -375,6 +375,9 @@ def _post_physics_batched(params: EnvParams, state: EnvState,
       'superpressure_pa': balloon.superpressure_pa,
       'battery_soc': balloon_lib.battery_soc(params.balloon, balloon),
   }
+  if params.field_cache:
+    info['slab_oob'] = jax.vmap(wind_field_lib.slab_oob)(
+        state.wind, balloon.x_m, balloon.y_m)
   done = balloon.status != balloon_lib.STATUS_OK
   return StepOutput(state, obs, reward, done, info)
 
@@ -421,6 +424,11 @@ def _post_physics(params: EnvParams, state: EnvState,
       'superpressure_pa': balloon.superpressure_pa,
       'battery_soc': balloon_lib.battery_soc(params.balloon, balloon),
   }
+  if params.field_cache:
+    # Slab speed-bound violation detector (ADVICE r3): True means the
+    # clamped window query silently returned edge winds this step.
+    info['slab_oob'] = wind_field_lib.slab_oob(state.wind, balloon.x_m,
+                                               balloon.y_m)
   return StepOutput(state, obs, reward, done, info)
 
 

@@ -212,11 +212,34 @@ def refresh_slab(state: WindFieldState, x_m, y_m) -> WindFieldState:
   return state.replace(slab=slab, slab_x0=x0, slab_y0=y0)
 
 
+def slab_oob(state: WindFieldState, x_m, y_m):
+  """True when (x, y) falls outside the cached slab window BEFORE the
+  clamp -- i.e. the documented ~34.7 m/s speed bound was violated and
+  the clamped query would silently return edge winds (ADVICE r3).
+  Window-edge clamps that coincide with the GRID's own edge clamp are
+  not violations. Steps expose this as info['slab_oob']."""
+  if state.slab is None:
+    return jnp.zeros(jnp.shape(x_m), jnp.bool_)
+  def axis_oob(coord, base):
+    local = coord - base.astype(jnp.float32)
+    lo_cl = base == 0  # Window at grid edge: grid clamp == window clamp.
+    hi_cl = base == LATLNG_SLICES - SLAB_W
+    return jnp.logical_or(
+        jnp.logical_and(local < 0.0, jnp.logical_not(lo_cl)),
+        jnp.logical_and(local > SLAB_W - 1.0, jnp.logical_not(hi_cl)))
+  x_oob = axis_oob(_grid_coord(jnp.asarray(x_m, jnp.float32) / 1000.0),
+                   state.slab_x0)
+  y_oob = axis_oob(_grid_coord(jnp.asarray(y_m, jnp.float32) / 1000.0),
+                   state.slab_y0)
+  return jnp.logical_or(x_oob, y_oob)
+
+
 def _window_weights(coord, base):
   """One-hot-pair weights over the SLAB_W window, clamped to its edges
   (coincides with the grid's own edge clamp when the window touches the
   domain boundary; out-of-window queries -- beyond the documented speed
-  bound -- clamp to the nearest window edge)."""
+  bound -- clamp to the nearest window edge and are detectable via
+  `slab_oob`)."""
   local = jnp.clip(coord - base.astype(jnp.float32), 0.0, SLAB_W - 1)
   i0 = jnp.clip(jnp.floor(local), 0, SLAB_W - 2)
   frac = local - i0
