@@ -92,45 +92,63 @@ def _env_body(x, y, p, t, enabled, loc_in, err_in, active, kinv, alpha_in,
 
   d0 = wind_gp.SIGMA_EXP_SQUARED + wind_gp.SIGMA_NOISE_SQUARED
 
-  # --- DIRECT sequential rank-1 updates on the VMEM-resident inverse.
-  def matcol(mat, e):  # (CAP, CAP), (CAP,) -> (CAP, 1) = mat @ e.
-    return jnp.sum(mat * e[None, :], axis=1, keepdims=True)
+  # --- The SAME sequential clamped rank-1 updates (remove e1, remove
+  # e2, remove eo, insert v), but with every pivot and cross term read
+  # off ONE 4x4 Gram matrix s = U^T K0 U instead of re-contracting the
+  # running matrix per update: 2 MXU matmuls + ~25 scalar-unit ops
+  # replace 4 serial matcol reductions + 4 serial MXU vector dots. The
+  # recurrences are the textbook block-LDL ones; identity-restore terms
+  # (e_l e_l^T) contribute nothing to later pivots because the four
+  # update slots are distinct and v is masked to the active set.
+  #   t[l][j] = w_l . u_j = s[j, l] - sum_{p<l} (t[p][l]/safe_p) t[p][j]
+  #   d_j     = s[j, j] - sum_{p<j} t[p][j]^2 / safe_p
+  u_mat = jnp.stack([e1, e2, eo, v], axis=1)  # (CAP, 4)
+  m_mat = jnp.dot(kinv, u_mat, preferred_element_type=jnp.float32,
+                  precision=_PREC)  # (CAP, 4) = K0 U
+  s_mat = jnp.dot(u_mat.T, m_mat, preferred_element_type=jnp.float32,
+                  precision=_PREC)  # (4, 4)
 
-  def vdot(a_col, b_col):  # (CAP, 1) x (CAP, 1) -> scalar a.b.
-    # (1, CAP) @ (CAP, 1) MXU dot: Mosaic's vector multi_reduction
-    # cannot lower the chained (CAP,)->scalar lane reduction here
-    # ("Offset change"), the 2-D dot can.
-    return jnp.dot(a_col.T, b_col, preferred_element_type=jnp.float32,
-                   precision=_PREC)[0, 0]
+  removing = [jnp.sum(e1) > 0.5, jnp.sum(e2) > 0.5, jnp.sum(eo) > 0.5]
+  d_min = 1.0 / d0
+  t = {}
+  safe = []
+  for j in range(3):  # Removal pivots, clamped like `remove` did.
+    dj = s_mat[j, j]
+    for p in range(j):
+      t[(p, j)] = s_mat[j, p] - sum(
+          (t[(q, p)] / safe[q]) * t[(q, j)] for q in range(p))
+      dj = dj - t[(p, j)] * t[(p, j)] / safe[p]
+    safe.append(jnp.where(jnp.abs(dj) > d_min, dj,
+                          jnp.where(removing[j], d_min, 1.0)))
+  for p in range(3):  # Cross terms into the insert column.
+    t[(p, 3)] = s_mat[3, p] - sum(
+        (t[(q, p)] / safe[q]) * t[(q, 3)] for q in range(p))
+  d_v = s_mat[3, 3] - sum(t[(p, 3)] * t[(p, 3)] / safe[p]
+                          for p in range(3))
+  # Exact Schur >= sigma_noise^2 (posterior variance at an observed
+  # point cannot fall below the noise floor).
+  schur = jnp.maximum(d0 - d_v, wind_gp.SIGMA_NOISE_SQUARED)
 
-  def remove(kinv, e):
-    """Schur downdate of the slot whose one-hot is `e` (zero vector ->
-    exact no-op). Clamp: d = (K^-1)_ss >= 1/K_ss in exact arithmetic;
-    keep rounding from flipping the pivot sign or exploding."""
-    e_col = e[:, None]
-    w = matcol(kinv, e)
-    dd = vdot(w, e_col)
-    d_min = 1.0 / d0
-    removing = jnp.sum(e) > 0.5
-    safe_d = jnp.where(jnp.abs(dd) > d_min, dd,
-                       jnp.where(removing, d_min, 1.0))
-    kinv = kinv - (1.0 / safe_d) * (w * w.T)
-    # Restore the identity slot: + e e^T (zero when not removing).
-    return kinv + e_col * e[None, :]
+  # Update vectors (w_j = running-matrix column), reconstructed with
+  # <=6 AXPYs on (CAP, 1) columns; zero one-hots make skipped
+  # modifications exact no-ops with no masking.
+  w = []
+  for j in range(4):
+    wj = m_mat[:, j:j + 1]
+    for p in range(j):
+      wj = wj - (t[(p, j)] / safe[p]) * w[p]
+    w.append(wj)
+  yv = w[3] - slot_e[:, None]
 
-  kinv_run = remove(kinv, e1)
-  kinv_run = remove(kinv_run, e2)
-  kinv_run = remove(kinv_run, eo)
-
-  # Bordered insert at `slot` (an identity row post-removals): exact
-  # Schur >= sigma_noise^2 (posterior variance at an observed point
-  # cannot fall below the noise floor).
-  u = matcol(kinv_run, v)
-  schur = jnp.maximum(d0 - vdot(u, v[:, None]),
-                      wind_gp.SIGMA_NOISE_SQUARED)
-  yv = u - slot_e[:, None]
-  kinv_new = (kinv_run + (1.0 / schur) * (yv * yv.T) -
-              slot_e[:, None] * slot_e[None, :])
+  kinv_new = (kinv
+              - (1.0 / safe[0]) * (w[0] * w[0].T)
+              - (1.0 / safe[1]) * (w[1] * w[1].T)
+              - (1.0 / safe[2]) * (w[2] * w[2].T)
+              + e1[:, None] * e1[None, :]
+              + e2[:, None] * e2[None, :]
+              + eo[:, None] * eo[None, :]
+              + (1.0 / schur) * (yv * yv.T)
+              - slot_e[:, None] * slot_e[None, :])
 
   return (locations, active_final, kinv_new, sm,
           jnp.where(enabled, count + 1, count))

@@ -23,13 +23,14 @@ from ble_tpu.generative import vae
 
 
 def timed(fn, *args, reps=3):
-  out = fn(*args)
-  jax.block_until_ready(out)
+  """Times fn via a FORCED host fetch of its scalar result:
+  block_until_ready does not synchronize through the remote-TPU tunnel
+  (docs/benchmarks.md round-4 calibration)."""
+  float(jnp.asarray(fn(*args)).ravel()[0])
   times = []
   for _ in range(reps):
     t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.asarray(fn(*args)).ravel()[0])
     times.append(time.perf_counter() - t0)
   return min(times)
 
@@ -103,12 +104,22 @@ def main():
     return st, acc + u.mean() + v.mean()
   t_wind = timed(scan_stage(wind_body), state, jax.random.PRNGKey(0))
 
-  # 4. GP observe (incremental inverse update).
+  # 4. GP observe (incremental inverse update; the blocked kernel on TPU,
+  # exactly as _post_physics_batched runs it).
   def gp_obs_body(st, key, acc):
-    gp = jax.vmap(wind_gp.observe)(
-        st.gp, st.balloon.x_m + acc, st.balloon.y_m, st.balloon.pressure_pa,
-        st.balloon.time_elapsed_s.astype(jnp.float32) + acc,
-        jnp.full((n,), 1.0), jnp.full((n,), -1.0))
+    if jax.default_backend() == 'tpu':
+      from ble_tpu.ops import pallas_gp_observe
+      gp = pallas_gp_observe.observe_batched(
+          st.gp, st.balloon.x_m + acc, st.balloon.y_m,
+          st.balloon.pressure_pa,
+          st.balloon.time_elapsed_s.astype(jnp.float32) + acc,
+          jnp.full((n,), 1.0), jnp.full((n,), -1.0))
+    else:
+      gp = jax.vmap(wind_gp.observe)(
+          st.gp, st.balloon.x_m + acc, st.balloon.y_m,
+          st.balloon.pressure_pa,
+          st.balloon.time_elapsed_s.astype(jnp.float32) + acc,
+          jnp.full((n,), 1.0), jnp.full((n,), -1.0))
     return st.replace(gp=gp), acc + gp.alpha.sum() * 0.0 + 1.0
   t_gp_obs = timed(scan_stage(gp_obs_body), state, jax.random.PRNGKey(0))
 
@@ -120,13 +131,35 @@ def main():
     return st, acc + obs.mean()
   t_feat = timed(scan_stage(feat_body), state, jax.random.PRNGKey(0))
 
+  # 6. Forecast-only lookup (no noise): the second wind read of the step.
+  def forecast_body(st, key, acc):
+    u, v = jax.vmap(wind_field_lib.get_forecast)(
+        st.wind, st.balloon.x_m + acc, st.balloon.y_m,
+        st.balloon.pressure_pa, st.balloon.time_elapsed_s.astype(jnp.float32))
+    return st, acc + u.mean() + v.mean()
+  t_forecast = timed(scan_stage(forecast_body), state, jax.random.PRNGKey(0))
+
+  # 7. Simplex noise alone (10 harmonics x OpenSimplex lattice sums).
+  def noise_body(st, key, acc):
+    u, v = jax.vmap(wind_field_lib.get_noise)(
+        st.wind, st.balloon.x_m + acc, st.balloon.y_m,
+        st.balloon.pressure_pa, st.balloon.time_elapsed_s.astype(jnp.float32))
+    return st, acc + u.mean() + v.mean()
+  t_noise = timed(scan_stage(noise_body), state, jax.random.PRNGKey(0))
+
   unit = 1e6 / (n * steps)  # -> us per env-step.
   print(f'num_envs={n} steps={steps} backend={jax.default_backend()}')
-  for name, t in [('full step', t_full), ('physics (fused)', t_phys),
-                  ('wind lookup', t_wind), ('gp observe', t_gp_obs),
-                  ('features+gp query', t_feat)]:
+  rows = [('full step', t_full), ('physics (fused)', t_phys),
+          ('wind gt lookup', t_wind), ('gp observe', t_gp_obs),
+          ('features+gp query', t_feat), ('forecast lookup', t_forecast),
+          ('noise only', t_noise)]
+  for name, t in rows:
     print(f'{name:20s} {t*1e3:8.1f} ms total   {t*unit:8.4f} us/env-step   '
           f'{n*steps/t/1e6:6.2f} M env-steps/s')
+  parts = t_phys + t_wind + t_gp_obs + t_feat + t_forecast
+  print(f'{"unattributed":20s} {(t_full-parts)*1e3:8.1f} ms total   '
+        f'{(t_full-parts)*unit:8.4f} us/env-step   '
+        f'(full - physics - gt - observe - features - forecast)')
 
 
 if __name__ == '__main__':

@@ -40,19 +40,24 @@ def test_observe_matches_xla_incremental():
   """Step-by-step parity over a 150-obs track (covers ring eviction at
   CAPACITY=128 and in-window churn).
 
-  2e-3 atol: the kernel applies the SAME sequential rank-1 updates but
-  accumulates in a different order (VPU lane reductions vs the XLA
-  path's combined rank-8 HIGHEST matmul); both drift from the exact
-  inverse at the same f32 rate (~1e-2 over an un-refreshed episode,
-  wind_gp.observe docstring) and both are pinned by the 64-step exact
-  refresh in production."""
+  5e-3 atol pairwise: the kernel applies the SAME sequential rank-1
+  updates but accumulates in a different order (Gram-matrix pivot
+  recurrences vs the XLA path's rank-8 HIGHEST matmul). The meaningful
+  accuracy metric is drift vs the EXACT inverse, asserted at the end:
+  both paths sit at the same f32 rounding floor (~1e-3 after 150
+  un-refreshed inserts; production refreshes every 64 steps)."""
   ref = wind_gp.init()
   fused = wind_gp.init()
   obs_ref = jax.jit(wind_gp.observe)
   for row in _trajectory(jax.random.PRNGKey(0), 150):
     ref = obs_ref(ref, *row)
     fused = pallas_gp_observe.observe(fused, *row, interpret=True)
-    _assert_state_close(fused, ref, atol=2e-3)
+    _assert_state_close(fused, ref, atol=5e-3)
+  exact_r = wind_gp.refresh(ref)
+  exact_f = wind_gp.refresh(fused)
+  drift_ref = float(jnp.abs(ref.alpha - exact_r.alpha).max())
+  drift_fused = float(jnp.abs(fused.alpha - exact_f.alpha).max())
+  assert drift_fused < max(2.0 * drift_ref, 3e-3), (drift_fused, drift_ref)
 
 
 def test_observe_expiry_parity():

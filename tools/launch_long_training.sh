@@ -23,7 +23,7 @@ cd "$(dirname "$0")/.."
 OUT=${OUT:-results/qrdqn_long_run}
 mkdir -p "$OUT"
 
-exec python -u examples/train_learning_curve.py \
+exec python -u -m examples.train_learning_curve \
   --out "$OUT" \
   --agent quantile \
   --num_envs 1024 \
