@@ -207,3 +207,24 @@ def test_post_physics_batched_matches_vmapped():
                              np.asarray(ref.state.gp.alpha), atol=5e-4)
   np.testing.assert_array_equal(np.asarray(got.state.gp.active),
                                 np.asarray(ref.state.gp.active))
+
+
+def test_slab_oob_detector():
+  """slab_oob flags pre-clamp window exits (ADVICE r3) but not
+  window-edge clamps that coincide with the grid's own edge clamp."""
+  field = jnp.zeros((wf.LATLNG_SLICES, wf.LATLNG_SLICES,
+                     wf.PRESSURE_SLICES, wf.TIME_SLICES, 2), jnp.float32)
+  state = _state_with(field)
+  cached = wf.refresh_slab(state, 0.0, 0.0)  # Window centered mid-grid.
+  # In-window queries: no flag.
+  assert not bool(wf.slab_oob(cached, 0.0, 0.0))
+  assert not bool(wf.slab_oob(cached, 40e3, -40e3))
+  # >1 cell (50 km) beyond the refresh point: flagged.
+  assert bool(wf.slab_oob(cached, 160e3, 0.0))
+  assert bool(wf.slab_oob(cached, 0.0, -160e3))
+  # At the DOMAIN edge the window clamp coincides with the grid clamp:
+  # far-out queries there are not window violations.
+  edge = wf.refresh_slab(state, -2000e3, 0.0)
+  assert not bool(wf.slab_oob(edge, -3000e3, 0.0))
+  # No slab -> never flags.
+  assert not bool(wf.slab_oob(state, 1e9, 1e9))
