@@ -339,8 +339,17 @@ def _post_physics_batched(params: EnvParams, state: EnvState,
   from ble_tpu.ops import pallas_gp_observe
   was_ok = state.balloon.status == balloon_lib.STATUS_OK
   elapsed = balloon.time_elapsed_s.astype(jnp.float32)
-  wind_u, wind_v = jax.vmap(wind_field_lib.get_ground_truth)(
+  # ONE forecast interpolation: ground truth = forecast + noise at the
+  # same point, and the GP error re-subtracts the same forecast VALUE,
+  # so reusing it is bit-identical to the single-env path's two
+  # interpolations (same inputs, deterministic op) and saves a full
+  # field/slab contraction per step.
+  forecast_u, forecast_v = jax.vmap(wind_field_lib.get_forecast)(
       state.wind, balloon.x_m, balloon.y_m, balloon.pressure_pa, elapsed)
+  noise_u, noise_v = jax.vmap(wind_field_lib.get_noise)(
+      state.wind, balloon.x_m, balloon.y_m, balloon.pressure_pa, elapsed)
+  wind_u = forecast_u + noise_u
+  wind_v = forecast_v + noise_v
 
   state = state.replace(
       balloon=balloon,
@@ -350,8 +359,6 @@ def _post_physics_batched(params: EnvParams, state: EnvState,
       sunset_s=_advance_past(state.sunset_s, balloon.time_s),
       steps=state.steps + 1)
 
-  forecast_u, forecast_v = jax.vmap(wind_field_lib.get_forecast)(
-      state.wind, balloon.x_m, balloon.y_m, balloon.pressure_pa, elapsed)
   gp = pallas_gp_observe.observe_batched(
       state.gp, balloon.x_m, balloon.y_m, balloon.pressure_pa, elapsed,
       wind_u - forecast_u, wind_v - forecast_v, enabled=was_ok)
