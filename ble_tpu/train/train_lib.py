@@ -39,9 +39,17 @@ def _checkpoint_manager(base_dir: str, max_to_keep: int = 5):
 
 
 def save_checkpoint(base_dir: str, ts: learner_lib.TrainState,
-                    iteration: int, max_to_keep: int = 5) -> None:
+                    iteration: int, max_to_keep: int = 5,
+                    light: bool = False) -> None:
+  """light=True saves ONLY the learner state (params/target/opt/steps):
+  ~50 MB instead of the multi-GB full TrainState whose replay-ring
+  download through the remote-TPU tunnel costs ~28 min at 1024 envs
+  (STATUS round 3). A light checkpoint restores via
+  restore_latest_learner_params / the eval CLIs; training resumed from
+  it re-warms the replay ring instead of reloading it."""
   mgr = _checkpoint_manager(base_dir, max_to_keep)
-  mgr.save(iteration, args=ocp.args.StandardSave(ts))
+  payload = {'learner': ts.learner} if light else ts
+  mgr.save(iteration, args=ocp.args.StandardSave(payload))
   mgr.wait_until_finished()
   mgr.close()
 

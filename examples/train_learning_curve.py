@@ -66,6 +66,11 @@ def main():
                  'tunnel).')
   p.add_argument('--set', action='append', default=[],
                  help='TrainConfig override, e.g. replay.batch_size=512')
+  p.add_argument('--light_ckpt', action='store_true',
+                 help='Checkpoint only the learner state (~50 MB) '
+                 'instead of the full TrainState (multi-GB replay '
+                 'ring; ~28 min/download through the remote-TPU '
+                 'tunnel). Resume re-warms the replay.')
   p.add_argument('--no_field_cache', action='store_true',
                  help='Disable the windowed field-slab cache '
                  '(EnvParams.field_cache, on by default: 4x4 lat/lng '
@@ -207,12 +212,14 @@ def main():
       record['eval_mean_twr'] = float(ev['time_within_radius'].mean())
       record['eval_mean_reward'] = float(ev['cumulative_reward'].mean())
     if iteration % args.ckpt_every == 0 or iteration == args.iterations - 1:
-      train_lib.save_checkpoint(args.out, ts, iteration)
+      train_lib.save_checkpoint(args.out, ts, iteration,
+                                light=args.light_ckpt)
     with open(curve_path, 'a') as f:
       f.write(json.dumps(record) + '\n')
     print(record, flush=True)
     if args.max_hours and (time.perf_counter() - run_start) > args.max_hours * 3600:
-      train_lib.save_checkpoint(args.out, ts, iteration)
+      train_lib.save_checkpoint(args.out, ts, iteration,
+                                light=args.light_ckpt)
       print('hit max_hours, stopping', flush=True)
       break
 
