@@ -1,4 +1,4 @@
-"""Headline benchmark: env-steps/s/chip at BENCH_NUM_ENVS envs (default 16384).
+"""Headline benchmark: env-steps/s/chip at BENCH_NUM_ENVS envs (default 4096).
 
 Measures the fully fused environment step (physics substeps + wind
 interpolation + simplex noise + GP feature construction + reward) with
@@ -23,7 +23,12 @@ import time
 import jax
 import jax.numpy as jnp
 
-NUM_ENVS = int(os.environ.get('BENCH_NUM_ENVS', '16384'))
+# 4096 default (was 16384): the step is bandwidth-floored PER ENV once
+# the pipeline is honestly measured, so batch width past 4096 buys
+# little -- and 16384-env resets through the remote-TPU tunnel have
+# been observed to stall >20 min, which a driver-run bench must not
+# risk. Set BENCH_NUM_ENVS to override.
+NUM_ENVS = int(os.environ.get('BENCH_NUM_ENVS', '4096'))
 NUM_STEPS = int(os.environ.get('BENCH_NUM_STEPS', '32'))
 BASELINE_STEPS_PER_S = 9.0
 
