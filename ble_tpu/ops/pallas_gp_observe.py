@@ -330,8 +330,13 @@ def observe_batched(state: wind_gp.WindGPState, x_m, y_m, pressure_pa,
       in_specs=in_specs,
       out_specs=out_specs,
       interpret=interpret,
-      compiler_params=None if interpret else pltpu.CompilerParams(
-          dimension_semantics=('parallel',)),
+      # CompilerParams is the recent rename of TPUCompilerParams; guard so
+      # an older pinned JAX on a TPU host degrades to default compiler
+      # params instead of an AttributeError at trace time (ADVICE r4).
+      compiler_params=None if interpret else (
+          getattr(pltpu, 'CompilerParams',
+                  getattr(pltpu, 'TPUCompilerParams', lambda **kw: None))(
+                      dimension_semantics=('parallel',))),
   )(obs, state.locations, state.errors,
     state.active.astype(jnp.float32), state.kinv, state.alpha,
     state.count.reshape(n, 1))

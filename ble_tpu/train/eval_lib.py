@@ -25,6 +25,7 @@ import numpy as np
 
 from ble_tpu.env import env as env_lib
 from ble_tpu.env import wind_field as wind_field_lib
+from ble_tpu.env import wind_gp as wind_gp_lib
 
 
 @dataclasses.dataclass
@@ -113,9 +114,16 @@ def build_eval_fn(env_params: env_lib.EnvParams,
   # sub-chunk boundaries below (cond-free cadence; without it the
   # single-env step re-centers EVERY step, a full grid read PLUS the
   # slab rebuild -- strictly slower than no cache. ADVICE r3).
+  # The cadence only exists when the GP refresh period is a whole number
+  # of cache sub-chunks; otherwise refresh='never' would leave the slab
+  # pinned for a whole 64-step chunk and clamped edge winds would be
+  # returned silently (ADVICE r4 medium) -- fall back to per-step
+  # refresh='auto' in that (non-default, never used by the CLIs) case.
   cached = env_params.field_cache
+  use_cache_cadence = (
+      cached and wind_gp_lib.REFRESH_PERIOD % env_params.field_cache_every == 0)
   step = functools.partial(env_lib.step, env_params,
-                           refresh='never' if cached else 'auto')
+                           refresh='never' if use_cache_cadence else 'auto')
   radius_km = env_params.station_keeping_radius_km
 
   if _parametric:
@@ -180,13 +188,10 @@ def build_eval_fn(env_params: env_lib.EnvParams,
     # Doing it between chunks costs one 128^3 Cholesky per 64 steps
     # (amortized ~33 kFLOP/step/env) instead of a per-step lax.cond whose
     # vmapped select would run the Cholesky every step.
-    from ble_tpu.env import wind_gp as wind_gp_lib
     period = wind_gp_lib.REFRESH_PERIOD
     n_chunks = max_steps // period
     remainder = max_steps - n_chunks * period
-
     cache_k = env_params.field_cache_every
-    use_cache_cadence = cached and period % cache_k == 0
 
     def subchunk(carry, sub_keys):
       env_state = carry[0]
@@ -221,7 +226,7 @@ def build_eval_fn(env_params: env_lib.EnvParams,
       # exact without its own cadence bookkeeping (suites use 960 = a
       # whole number of chunks, so this path is cold).
       def tail_body(carry, step_key):
-        if cached:
+        if use_cache_cadence:
           env_state = carry[0]
           env_state = env_state.replace(wind=wind_field_lib.refresh_slab(
               env_state.wind, env_state.balloon.x_m, env_state.balloon.y_m))

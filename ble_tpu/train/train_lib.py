@@ -80,7 +80,12 @@ def restore_latest_checkpoint(base_dir: str,
 
 def _merge_raw_checkpoint(template, raw):
   """Grafts a raw (nested-dict) checkpoint onto a pytree template by
-  matching key paths; unmatched template leaves stay as-is."""
+  matching key paths; unmatched template leaves stay as-is.
+
+  Template leaves with NO matching checkpoint path are loudly reported:
+  a silent partial graft can resume a half-restored network (e.g. a
+  checkpoint written before a head was added trains fresh head layers on
+  restored torso weights with no warning -- ADVICE r4)."""
   from jax import tree_util as jtu
 
   def name_of(k):
@@ -94,11 +99,26 @@ def _merge_raw_checkpoint(template, raw):
       for path, v in jtu.tree_flatten_with_path(raw)[0]
   }
 
+  unmatched = []
+
   def build(path, leaf):
     v = raw_leaves.get(tuple(name_of(k) for k in path))
-    return leaf if v is None else jnp.asarray(v)
+    if v is None:
+      unmatched.append('/'.join(name_of(k) for k in path))
+      return leaf
+    return jnp.asarray(v)
 
-  return jtu.tree_map_with_path(build, template)
+  merged = jtu.tree_map_with_path(build, template)
+  if unmatched:
+    shown = ', '.join(unmatched[:8])
+    more = f' (+{len(unmatched) - 8} more)' if len(unmatched) > 8 else ''
+    logging.warning(
+        'checkpoint graft: %d template leaves had no matching checkpoint '
+        'path and keep their FRESH initialization: %s%s. If these are '
+        'network weights (not replay/counters), the restored model is '
+        'partially reinitialized -- check that the network config matches '
+        'the checkpoint.', len(unmatched), shown, more)
+  return merged
 
 
 def restore_latest_learner_params(base_dir: str):

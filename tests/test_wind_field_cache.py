@@ -147,6 +147,30 @@ def test_eval_lib_cached_matches_uncached():
       np.testing.assert_array_equal(cached[k], base[k], err_msg=k)
 
 
+def test_eval_lib_cached_non_divisor_cadence_falls_back():
+  """ADVICE r4 medium: field_cache_every that does NOT divide the GP
+  REFRESH_PERIOD (64) has no sub-chunk cadence; build_eval_fn must fall
+  back to per-step slab refresh instead of silently pinning the slab for
+  whole 64-step chunks (which returned clamped edge winds)."""
+  from ble_tpu.agents import station_seeker
+  from ble_tpu.train import eval_lib
+
+  field_fn = env_lib.make_field_fn('static')
+  seeds = jnp.arange(3, dtype=jnp.int32)
+
+  def run(params):
+    fn = eval_lib.build_eval_fn(
+        params, field_fn, lambda key: (),
+        lambda state, obs, key: (state, station_seeker.pick_action(obs)),
+        max_steps=96)
+    return jax.tree.map(np.asarray, fn(seeds))
+
+  base = run(env_lib.EnvParams())
+  odd = run(env_lib.EnvParams(field_cache=True, field_cache_every=24))
+  for k in ('cumulative_reward', 'time_within_radius', 'final_timestep'):
+    np.testing.assert_array_equal(odd[k], base[k], err_msg=k)
+
+
 def test_learner_chunk_cached_matches_uncached():
   """run_episode_chunk's nested slab cadence: training trajectory with
   field_cache on == off (agent-free comparison via the env metrics)."""
