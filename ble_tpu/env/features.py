@@ -121,7 +121,35 @@ def wind_column_features(params, state: balloon_lib.BalloonState,
 
   forecast_u, forecast_v = wind_field_lib.get_forecast(
       wind, state.x_m, state.y_m, PRESSURE_LEVELS, elapsed)
-  means = error_means + jnp.stack([forecast_u, forecast_v], axis=-1)
+  return wind_column_features_precomputed(
+      params, state, atmosphere, error_means, deviations,
+      jnp.stack([forecast_u, forecast_v], axis=-1))
+
+
+# Static 181-level pressure interpolation weights: contracting these with
+# a wind column (10, 2) reproduces get_forecast at PRESSURE_LEVELS
+# exactly (same _axis_weights formula on the fixed level grid), letting
+# the batched step reuse the ONE effective_column it already computed for
+# the balloon lookup instead of re-contracting the field slab.
+_LEVEL_PRESSURE_WEIGHTS = wind_field_lib._axis_weights(
+    PRESSURE_LEVELS, wind_field_lib.PRESSURE_SLICES,
+    wind_field_lib.MIN_PRESSURE_PA, wind_field_lib.MAX_PRESSURE_PA)
+
+
+def wind_column_features_precomputed(params, state: balloon_lib.BalloonState,
+                                     atmosphere, error_means, deviations,
+                                     forecast_uv) -> jnp.ndarray:
+  """`wind_column_features` with the GP query and the 181-level forecast
+  already computed (the fused-kernel path: the GP posterior comes out of
+  ops/pallas_gp_window and the forecast from the step's single
+  effective_column contraction).
+
+  Args:
+    error_means: (NUM_PRESSURE_LEVELS, 2) GP posterior forecast errors.
+    deviations: (NUM_PRESSURE_LEVELS,) normalized posterior variances.
+    forecast_uv: (NUM_PRESSURE_LEVELS, 2) forecast winds at the levels.
+  """
+  means = error_means + forecast_uv
 
   # Wind direction/magnitude per level.
   magnitudes = jnp.sqrt(jnp.sum(means ** 2, axis=-1))
@@ -176,6 +204,20 @@ def get_features(params, state: balloon_lib.BalloonState,
   """Full 1099-dim feature vector for one env (features.py:308-330)."""
   ambient = ambient_features(params, state, sunrise_s, sunset_s)
   column = wind_column_features(params, state, gp_state, wind, atmosphere)
+  return jnp.concatenate([ambient, column.reshape(-1)], axis=-1)
+
+
+def get_features_precomputed(params, state: balloon_lib.BalloonState,
+                             atmosphere, sunrise_s, sunset_s,
+                             error_means, deviations,
+                             forecast_uv) -> jnp.ndarray:
+  """`get_features` for the fused-kernel step: GP query + 181-level
+  forecast supplied by the caller (see wind_column_features_precomputed).
+  """
+  ambient = ambient_features(params, state, sunrise_s, sunset_s)
+  column = wind_column_features_precomputed(params, state, atmosphere,
+                                            error_means, deviations,
+                                            forecast_uv)
   return jnp.concatenate([ambient, column.reshape(-1)], axis=-1)
 
 

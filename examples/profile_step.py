@@ -147,19 +147,105 @@ def main():
     return st, acc + u.mean() + v.mean()
   t_noise = timed(scan_stage(noise_body), state, jax.random.PRNGKey(0))
 
+  # --- Round-5 stages: the fused-step decomposition (VERDICT r4 next-3:
+  # name >=90% of the honest step).
+
+  # 8. Scan/launch floor: a body that touches the carry trivially.
+  def empty_body(st, key, acc):
+    return st, acc + st.balloon.x_m.mean() * 1e-30 + 1.0
+  t_empty = timed(scan_stage(empty_body), state, jax.random.PRNGKey(0))
+
+  # 9. The single (10, 2) effective column (what the fused step actually
+  # contracts; serves both wind lookups).
+  def col_body(st, key, acc):
+    col = jax.vmap(wind_field_lib.effective_column)(
+        st.wind, st.balloon.x_m + acc, st.balloon.y_m,
+        st.balloon.time_elapsed_s.astype(jnp.float32))
+    return st, acc + col.mean()
+  t_col = timed(scan_stage(col_body), state, jax.random.PRNGKey(0))
+
+  # 10. Fused GP observe+query (K=1 production kernel).
+  def gp_step_body(st, key, acc):
+    from ble_tpu.ops import pallas_gp_window
+    gp, means, dev = pallas_gp_window.step(
+        st.gp, st.balloon.x_m + acc, st.balloon.y_m,
+        st.balloon.pressure_pa,
+        st.balloon.time_elapsed_s.astype(jnp.float32) + acc,
+        jnp.full((n,), 1.0), jnp.full((n,), -1.0))
+    return st.replace(gp=gp), acc + means.mean() * 1e-12 + dev.mean() * 0.0 + 1.0
+  t_gp_step = timed(scan_stage(gp_step_body), state, jax.random.PRNGKey(0))
+
+  # 11. Feature assembly from a PRECOMPUTED query (ambient + centered
+  # gather + pressure range; no GP, no field read).
+  means0 = jnp.zeros((n, features_lib.NUM_PRESSURE_LEVELS, 2))
+  dev0 = jnp.zeros((n, features_lib.NUM_PRESSURE_LEVELS))
+  fc0 = jnp.zeros((n, features_lib.NUM_PRESSURE_LEVELS, 2))
+
+  def feat_pre_body(st, key, acc):
+    obs = jax.vmap(functools.partial(features_lib.get_features_precomputed,
+                                     env_params.balloon))(
+        st.balloon, st.atmosphere, st.sunrise_s, st.sunset_s,
+        means0 + acc, dev0, fc0)
+    return st, acc + obs.mean() * 1e-12 + 1e-9
+  t_feat_pre = timed(scan_stage(feat_pre_body), state, jax.random.PRNGKey(0))
+
+  # 12. Step epilogue: reward + info dict + done + sunrise advance + the
+  # post-physics state replaces (everything elementwise around the
+  # kernels).
+  def epilogue_body(st, key, acc):
+    from ble_tpu.env import balloon as balloon_lib
+    b = st.balloon
+    st2 = st.replace(
+        balloon=b, wind_u=st.wind_u + acc * 1e-30, wind_v=st.wind_v,
+        sunrise_s=env_lib._advance_past(st.sunrise_s, b.time_s),
+        sunset_s=env_lib._advance_past(st.sunset_s, b.time_s),
+        steps=st.steps + 1)
+    excess = balloon_lib.excess_energy(env_params.balloon, b)
+    reward = env_lib.reward_function(env_params, b, excess)
+    soc = balloon_lib.battery_soc(env_params.balloon, b)
+    done = b.status != 0
+    return st2, (acc + reward.mean() + soc.mean() * 1e-12 +
+                 done.sum() * 1e-12)
+  t_epi = timed(scan_stage(epilogue_body), state, jax.random.PRNGKey(0))
+
+  # 13. The staged window rollout (K = cache cadence), the bench's
+  # default mode.
+  kw = env_params.field_cache_every
+
+  def window_run(st, key):
+    def chunk(carry, i):
+      ks = jax.random.fold_in(key, i)
+      actions = jax.vmap(lambda kk: jax.random.randint(
+          jax.random.fold_in(ks, kk), (n,), 0, 3))(jnp.arange(kw))
+      out = env_lib.rollout_window(env_params, carry, actions)
+      return out.state, (out.reward.mean() +
+                         1e-12 * jnp.sum(out.observation))
+    st, accs = jax.lax.scan(chunk, st, jnp.arange(steps // kw))
+    return accs.sum()
+  t_window = timed(jax.jit(window_run), state, jax.random.PRNGKey(0))
+
   unit = 1e6 / (n * steps)  # -> us per env-step.
   print(f'num_envs={n} steps={steps} backend={jax.default_backend()}')
-  rows = [('full step', t_full), ('physics (fused)', t_phys),
-          ('wind gt lookup', t_wind), ('gp observe', t_gp_obs),
+  rows = [('full step', t_full),
+          ('window rollout K=%d' % kw, t_window),
+          ('physics (fused)', t_phys),
+          ('wind gt lookup', t_wind), ('gp observe (old)', t_gp_obs),
           ('features+gp query', t_feat), ('forecast lookup', t_forecast),
-          ('noise only', t_noise)]
+          ('noise only', t_noise),
+          ('scan/launch floor', t_empty),
+          ('effective column', t_col),
+          ('gp fused obs+query', t_gp_step),
+          ('features precomp', t_feat_pre),
+          ('step epilogue', t_epi)]
   for name, t in rows:
-    print(f'{name:20s} {t*1e3:8.1f} ms total   {t*unit:8.4f} us/env-step   '
+    print(f'{name:22s} {t*1e3:8.1f} ms total   {t*unit:8.4f} us/env-step   '
           f'{n*steps/t/1e6:6.2f} M env-steps/s')
-  parts = t_phys + t_wind + t_gp_obs + t_feat + t_forecast
-  print(f'{"unattributed":20s} {(t_full-parts)*1e3:8.1f} ms total   '
-        f'{(t_full-parts)*unit:8.4f} us/env-step   '
-        f'(full - physics - gt - observe - features - forecast)')
+  parts = t_phys + t_col + t_noise + t_gp_step + t_feat_pre + t_epi
+  print(f'{"sum of fused stages":22s} {parts*1e3:8.1f} ms total   '
+        f'{parts*unit:8.4f} us/env-step   (physics + column + noise + '
+        f'gp-fused + features + epilogue)')
+  print(f'{"unattributed":22s} {(t_full-parts)*1e3:8.1f} ms total   '
+        f'{(t_full-parts)*unit:8.4f} us/env-step   (full - fused stages)')
 
 
 if __name__ == '__main__':

@@ -28,6 +28,24 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
+# --- f64 parity lane (VERDICT r4 next-7) -------------------------------
+# The 100-seed paired eval diverges on a tail of seeds whose StationSeeker
+# action choice is an f32 knife-edge (top-2 altitude scores ~1e-4 apart on
+# O(1) values; results/parity_divergence.json). This lane re-runs BOTH
+# runtimes at float64 -- jax x64 on, and every call-time `jnp.float32`
+# in ble_tpu's simulator redirected to float64 (the parity path is
+# host-orchestrated CPU code; the patch must land before any ble_tpu /
+# reference import so module-level constants promote too). Both sides
+# draw their worlds from the same in-process x64 PRNG streams, so the
+# pairing is preserved; if the divergences are indeed f32 rounding, they
+# disappear here.
+_F64 = '--f64' in sys.argv
+if _F64:
+  import jax as _jax
+  _jax.config.update('jax_enable_x64', True)
+  import jax.numpy as _jnp_patch
+  _jnp_patch.float32 = _jnp_patch.float64
+
 from ble_tpu import compat
 
 compat.enable_reference_imports()
@@ -355,12 +373,16 @@ def main():
                  help='Per-seed PAIRED comparison: ble_tpu resets through '
                  'parity_reset so both runtimes see the same world per '
                  'seed (replaces the unpaired e2e block).')
+  p.add_argument('--f64', action='store_true',
+                 help='Run BOTH runtimes at float64 (see module header); '
+                 'must be combined with --paired for the flip experiment.')
   args = p.parse_args()
 
   report = {
       'generated_unix_s': int(time.time()),
       'suite': args.suite,
       'agent': args.agent,
+      'precision': 'float64' if args.f64 else 'float32',
   }
   if not args.skip_components:
     report['components'] = component_metrics()
