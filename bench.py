@@ -32,16 +32,18 @@ NUM_ENVS = int(os.environ.get('BENCH_NUM_ENVS', '4096'))
 NUM_STEPS = int(os.environ.get('BENCH_NUM_STEPS', '32'))
 BASELINE_STEPS_PER_S = 9.0
 
-# 'window' (default): the K-step staged rollout (env.rollout_window) --
+# 'window': the K-step staged rollout (env.rollout_window) --
 # physics/wind wide scan, then the K-step VMEM-resident GP kernel, then
 # wide feature assembly. Computes exactly what K per-step calls compute
 # for this bench's open-loop random policy (actions depend on the step
 # KEY, not the observation; parity pinned by tests/test_rollout_window.py)
 # while amortizing the GP-inverse HBM stream -- the honest step's
-# bandwidth floor -- across the window. 'perstep': the closed-loop
-# per-step path (what training actors with obs-dependent policies use);
-# docs/benchmarks.md reports both numbers.
-MODE = os.environ.get('BENCH_MODE', 'window')
+# bandwidth floor -- across the window. 'perstep' (default): the
+# closed-loop per-step path (what training actors with obs-dependent
+# policies use); docs/benchmarks.md reports both numbers. The default is
+# whichever mode currently compiles AND wins on hardware -- see
+# docs/benchmarks.md "K-step window" section for the measured pair.
+MODE = os.environ.get('BENCH_MODE', 'perstep')
 
 
 def main():
@@ -143,18 +145,29 @@ def main():
 
   rollout = jax.jit(rollout)
 
+  def note(msg):
+    # Progress to stderr (stdout is reserved for the single JSON line) so
+    # a driver-run bench that stalls shows WHERE: reset, compile, or run.
+    print(f'[bench +{time.perf_counter() - t_start:.0f}s] {msg}',
+          file=sys.stderr, flush=True)
+
+  t_start = time.perf_counter()
   # Reset in chunks: the one-time reset (VAE decode + sunrise search) has a
   # larger live set than the steady-state step.
   keys = jax.random.split(jax.random.PRNGKey(42), num_envs)
-  parts = [reset_b(keys[i:i + reset_chunk])
-           for i in range(0, num_envs, reset_chunk)]
+  parts = []
+  for i in range(0, num_envs, reset_chunk):
+    parts.append(reset_b(keys[i:i + reset_chunk]))
+    note(f'reset chunk {i // reset_chunk + 1}/{-(-num_envs // reset_chunk)}')
   state = jax.tree.map(lambda *xs: jnp.concatenate(xs), *[p[0] for p in parts])
   obs = jnp.concatenate([p[1] for p in parts])
   jax.block_until_ready(obs)
+  note('resets done; compiling rollout')
 
   step_keys = jax.random.split(jax.random.PRNGKey(7), NUM_STEPS)
   total, _ = rollout(state, step_keys)  # Warmup / compile.
   float(total)  # Forced host fetch: real device sync.
+  note('warmup done; timing')
 
   times = []
   for i in range(3):

@@ -96,7 +96,10 @@ def main():
     env['JAX_PLATFORMS'] = 'cpu'
     env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '') +
                         f' --xla_force_host_platform_device_count={n}')
-    env['PYTHONPATH'] = ''
+    # Repo root only: keeps ble_tpu importable from the tools/ script dir
+    # while dropping the axon sitecustomize path (TPU plugin) from child
+    # interpreters.
+    env['PYTHONPATH'] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), '--n', str(n)],
         capture_output=True, text=True, env=env,
