@@ -175,9 +175,14 @@ def observe(state: WindGPState, x_m, y_m, pressure_pa, elapsed_s,
   eo = jnp.where(active_after_rm[slot], slot_e, 0.0)
   active_pre_insert = jnp.logical_and(active_after_rm, eo < 0.5)
 
+  # Index literal pinned to slot's dtype: under jax_enable_x64 (the f64
+  # parity lane) a bare Python 0 promotes to int64 while state.count stays
+  # int32, and dynamic_update_slice rejects mixed index types.
+  zero = jnp.asarray(0, slot.dtype)
   locations = jax.lax.dynamic_update_slice(state.locations, loc[None, :],
-                                           (slot, 0))
-  errors = jax.lax.dynamic_update_slice(state.errors, err[None, :], (slot, 0))
+                                           (slot, zero))
+  errors = jax.lax.dynamic_update_slice(state.errors, err[None, :],
+                                        (slot, zero))
   active_final = jnp.logical_or(active_pre_insert, slot_e > 0.5)
   targets = jnp.where(active_final[:, None], errors, 0.0)
 

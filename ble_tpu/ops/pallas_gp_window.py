@@ -60,6 +60,12 @@ _PREC = jax.lax.Precision.HIGHEST
 # independent per-env chains to interleave.
 E_BLK = 8
 
+# Query-level lane-chunk width: the per-env query intermediates are
+# (CAP, _LVL_CHUNK) and at 128 lanes each the full unrolled E_BLK body
+# stays well inside the 16 MiB scoped-VMEM stack (a single un-chunked
+# (CAP, NUM_LEVELS->256-lane-padded) live set x 8 envs overflowed it).
+_LVL_CHUNK = 128
+
 _LS = (357000.0, 357000.0, 326.0, 34560.0)
 
 # Perciatelli query-pressure grid bounds (utils/constants.py; pinned by
@@ -168,12 +174,22 @@ def _observe_core(x, y, p, t, enabled, loc_in, active, kinv, count):
           jnp.where(enabled, count + 1, count))
 
 
-def _step_one(obs_row, pres_ref, loc_in, err_in, active, kinv, alpha_in,
+def _step_one(obs_row, pres_row, loc_in, err_in, active, kinv, alpha_in,
               count):
   """One env, one step: observe then query. All VALUES.
 
   obs_row (8,): [x, y, p, t, err_u, err_v, enabled, pad].
-  Returns (loc, err, active, kinv, alpha, count, level (NUM_LEVELS, 3)).
+  pres_row (1, NUM_LEVELS): query pressures as a lane-major ROW.
+  Returns (loc, err, active, kinv, alpha, count,
+  level_chunks: list of (3, chunk) lane-blocks covering NUM_LEVELS).
+
+  Mosaic layout constraints (found by compile bisection on v5e, see
+  docs/benchmarks.md): the level axis must live on LANES, results are
+  assembled by SUBLANE concat into (3, chunk) rows, and the query runs
+  in <=128-lane chunks -- the original (NUM_LEVELS, 3) column layout hit
+  a tpu.concatenate internal error on (181, 1) vpad columns, and keeping
+  8 envs' (181, 128) intermediates live overflowed the 16 MiB scoped
+  VMEM stack.
   """
   x, y, p, t = obs_row[0], obs_row[1], obs_row[2], obs_row[3]
   eu, ev = obs_row[4], obs_row[5]
@@ -199,27 +215,36 @@ def _step_one(obs_row, pres_ref, loc_in, err_in, active, kinv, alpha_in,
 
   # --- Query the UPDATED state at this step's (x, y, t) over the level
   # column (matches env._observe_and_features: features see the
-  # post-observe GP).
+  # post-observe GP). Transposed orientation: levels on LANES, in
+  # <=128-lane chunks (see docstring).
   lsx, lsy, lsp, lst = _LS
   qdx = (x - loc[:, 0]) / lsx
   qdy = (y - loc[:, 1]) / lsy
   qdt = (t - loc[:, 3]) / lst
-  qc = qdx * qdx + qdy * qdy + qdt * qdt + 1e-12  # (CAP,)
-  qdp = (pres_ref[:, :] - loc[:, 2][None, :]) / lsp  # (NUM_LEVELS, CAP)
-  qd = jnp.sqrt(qc[None, :] + qdp * qdp)
-  k_star = (wind_gp.SIGMA_EXP_SQUARED * jnp.exp(-qd)) * act[None, :]
-
-  means = jnp.dot(k_star, al, preferred_element_type=jnp.float32,
-                  precision=_PREC)  # (NUM_LEVELS, 2)
-  vv = jnp.dot(k_star, kv, preferred_element_type=jnp.float32,
-               precision=_PREC)  # (NUM_LEVELS, CAP)
-  var = wind_gp.SIGMA_EXP_SQUARED - jnp.sum(k_star * vv, axis=-1,
-                                            keepdims=True)
-  dev = jnp.clip(var / wind_gp.SIGMA_EXP_SQUARED, 0.0, 1.0)
+  qc = (qdx * qdx + qdy * qdy + qdt * qdt + 1e-12)[:, None]  # (CAP, 1)
   any_valid = (jnp.max(act) > 0.0).astype(jnp.float32)
-  level = jnp.concatenate([means * any_valid, dev * any_valid], axis=1)
 
-  return loc, err, act, kv, al, count_new, level
+  level_chunks = []
+  for c0 in range(0, NUM_LEVELS, _LVL_CHUNK):
+    c1 = min(c0 + _LVL_CHUNK, NUM_LEVELS)
+    pres_c = pres_row[:, c0:c1]  # (1, chunk)
+    qdp = (pres_c - loc[:, 2][:, None]) / lsp  # (CAP, chunk)
+    qd = jnp.sqrt(qc + qdp * qdp)
+    k_star = (wind_gp.SIGMA_EXP_SQUARED * jnp.exp(-qd)) * act[:, None]
+    # means^T (2, chunk): contract CAP without an explicit transpose.
+    means = jax.lax.dot_general(
+        al, k_star, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PREC)
+    # vv (CAP, chunk) = kinv @ k_star (kinv symmetric).
+    vv = jnp.dot(kv, k_star, preferred_element_type=jnp.float32,
+                 precision=_PREC)
+    var = wind_gp.SIGMA_EXP_SQUARED - jnp.sum(k_star * vv, axis=0,
+                                              keepdims=True)  # (1, chunk)
+    dev = jnp.clip(var / wind_gp.SIGMA_EXP_SQUARED, 0.0, 1.0)
+    level_chunks.append(
+        jnp.concatenate([means * any_valid, dev * any_valid], axis=0))
+
+  return loc, err, act, kv, al, count_new, level_chunks
 
 
 def _kernel(obs_ref, pres_ref, loc_in, err_in, act_in, kinv_in, alpha_in,
@@ -244,7 +269,7 @@ def _kernel(obs_ref, pres_ref, loc_in, err_in, act_in, kinv_in, alpha_in,
 
   counts = []
   for e in range(E_BLK):
-    loc, err, act, kv, al, cnt, level = _step_one(
+    loc, err, act, kv, al, cnt, level_chunks = _step_one(
         obs_ref[0, e, :], pres_ref, loc_o[e], err_o[e], act_o[e, :],
         kinv_o[e], alpha_o[e], cnt_o[e, 0])
     loc_o[e] = loc
@@ -252,7 +277,10 @@ def _kernel(obs_ref, pres_ref, loc_in, err_in, act_in, kinv_in, alpha_in,
     act_o[e, :] = act
     kinv_o[e] = kv
     alpha_o[e] = al
-    lvl_o[0, e] = level
+    # Per-chunk stores at lane offsets 0, 128, ... (static, aligned).
+    for ci, c0 in enumerate(range(0, NUM_LEVELS, _LVL_CHUNK)):
+      c1 = min(c0 + _LVL_CHUNK, NUM_LEVELS)
+      lvl_o[0, e, :, c0:c1] = level_chunks[ci]
     counts.append(cnt)
   cnt_o[...] = jnp.stack(counts).reshape(E_BLK, 1)
 
@@ -277,7 +305,7 @@ def window(state: wind_gp.WindGPState, obs_seq, interpret: bool = None):
   if n % E_BLK:
     raise ValueError(f'num envs {n} must be a multiple of {E_BLK}')
   pres = jnp.asarray(
-      jnp.linspace(_PRES_MIN, _PRES_MAX, NUM_LEVELS), jnp.float32)[:, None]
+      jnp.linspace(_PRES_MIN, _PRES_MAX, NUM_LEVELS), jnp.float32)[None, :]
 
   grid = (n // E_BLK, kk)
 
@@ -288,16 +316,16 @@ def window(state: wind_gp.WindGPState, obs_seq, interpret: bool = None):
   in_specs = [
       pl.BlockSpec((1, E_BLK, 8), lambda i, k: (k, i, 0),
                    memory_space=pltpu.VMEM),            # obs (streams)
-      pl.BlockSpec((NUM_LEVELS, 1), lambda i, k: (0, 0),
-                   memory_space=pltpu.VMEM),            # pressures
+      pl.BlockSpec((1, NUM_LEVELS), lambda i, k: (0, 0),
+                   memory_space=pltpu.VMEM),            # pressures (row)
       const_spec((CAP, 4)), const_spec((CAP, 2)), const_spec((CAP,)),
       const_spec((CAP, CAP)), const_spec((CAP, 2)), const_spec((1,)),
   ]
   out_specs = [
       const_spec((CAP, 4)), const_spec((CAP, 2)), const_spec((CAP,)),
       const_spec((CAP, CAP)), const_spec((CAP, 2)), const_spec((1,)),
-      pl.BlockSpec((1, E_BLK, NUM_LEVELS, 3), lambda i, k: (k, i, 0, 0),
-                   memory_space=pltpu.VMEM),            # level (streams)
+      pl.BlockSpec((1, E_BLK, 3, NUM_LEVELS), lambda i, k: (k, i, 0, 0),
+                   memory_space=pltpu.VMEM),            # level^T (streams)
   ]
   out_shapes = (
       jax.ShapeDtypeStruct((n, CAP, 4), jnp.float32),
@@ -306,7 +334,7 @@ def window(state: wind_gp.WindGPState, obs_seq, interpret: bool = None):
       jax.ShapeDtypeStruct((n, CAP, CAP), jnp.float32),
       jax.ShapeDtypeStruct((n, CAP, 2), jnp.float32),
       jax.ShapeDtypeStruct((n, 1), jnp.int32),
-      jax.ShapeDtypeStruct((kk, n, NUM_LEVELS, 3), jnp.float32),
+      jax.ShapeDtypeStruct((kk, n, 3, NUM_LEVELS), jnp.float32),
   )
   compiler_params = None
   if not interpret:
@@ -328,7 +356,9 @@ def window(state: wind_gp.WindGPState, obs_seq, interpret: bool = None):
   new_state = wind_gp.WindGPState(
       locations=loc, errors=err, active=active > 0.5, kinv=kinv,
       alpha=alpha, count=count[:, 0])
-  return new_state, level
+  # Kernel emits level^T (K, E, 3, NUM_LEVELS); callers keep the original
+  # (K, E, NUM_LEVELS, 3) convention -- one tiny XLA transpose outside.
+  return new_state, jnp.swapaxes(level, 2, 3)
 
 
 def step(state: wind_gp.WindGPState, x_m, y_m, pressure_pa, elapsed_s,

@@ -34,10 +34,18 @@ def sample_location(key: jax.Array):
 
 def sample_time(key: jax.Array):
   """Uniform int32 unix seconds in [2011-01-01, 2014-12-31)
-  (sampling.py:65-83)."""
-  offset = jax.random.randint(key, (), 0, _TIME_END_S - _TIME_BEGIN_S,
-                              jnp.int32)
-  return jnp.int32(_TIME_BEGIN_S) + offset
+  (sampling.py:65-83).
+
+  Drawn via `jax.random.choice` with the DEFAULT int dtype, exactly like
+  the reference, so the bit stream consumed matches under both the
+  normal (int32) and the jax_enable_x64 f64-parity-lane (int64) modes; a
+  dtype-pinned `randint` draws a different value under x64 and silently
+  de-pairs every seed's world in the f64 lane.
+  """
+  offset = jax.random.choice(key, _TIME_END_S - _TIME_BEGIN_S, ())
+  # Python-int addend adopts offset's dtype (int32 normally, int64 under
+  # x64); the final absolute time always fits int32.
+  return (_TIME_BEGIN_S + offset).astype(jnp.int32)
 
 
 def sample_pressure(key: jax.Array,

@@ -16,6 +16,10 @@ cd "$(dirname "$0")/.."
 
 OUT=${OUT:?set OUT to the run dir (must match --out)}
 STALL_SEC=$(( ${STALL_MIN:-10} * 60 ))
+# First-iteration grace: compile of the training/eval programs through
+# the remote tunnel can take 15-25 min before the first curve record
+# lands (measured 2x 10-min kill-loops before this knob existed).
+GRACE_SEC=$(( ${GRACE_MIN:-30} * 60 ))
 MAX_RESTARTS=${MAX_RESTARTS:-20}
 
 restarts=0
@@ -24,13 +28,19 @@ while :; do
   "$@" &
   pid=$!
   stalled=0
+  recs_at_launch=$(grep -c '"iteration"' "$OUT/curve.jsonl" 2>/dev/null || echo 0)
   while kill -0 "$pid" 2>/dev/null; do
     sleep 30
     mtime=$(stat -c %Y "$OUT/curve.jsonl" 2>/dev/null || echo 0)
     now=$(date +%s)
     last=$(( mtime > launch_ts ? mtime : launch_ts ))
-    if [ $(( now - last )) -gt "$STALL_SEC" ]; then
-      echo "[autoresume] stall: no curve record for $(( now - last ))s, killing pid $pid" >&2
+    recs=$(grep -c '"iteration"' "$OUT/curve.jsonl" 2>/dev/null || echo 0)
+    # Until this launch has produced an iteration record, allow the long
+    # compile grace; afterwards the tight stall window applies.
+    limit=$STALL_SEC
+    if [ "$recs" -le "$recs_at_launch" ]; then limit=$GRACE_SEC; fi
+    if [ $(( now - last )) -gt "$limit" ]; then
+      echo "[autoresume] stall: no curve record for $(( now - last ))s (limit ${limit}s), killing pid $pid" >&2
       kill -9 "$pid" 2>/dev/null
       stalled=1
       break
