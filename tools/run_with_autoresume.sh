@@ -28,13 +28,19 @@ while :; do
   "$@" &
   pid=$!
   stalled=0
-  recs_at_launch=$(grep -c '"iteration"' "$OUT/curve.jsonl" 2>/dev/null || echo 0)
+  # NB: grep -c prints "0" itself on zero matches (exit 1), so a
+  # `|| echo 0` fallback would produce the two-line string "0\n0" and
+  # break the -le integer comparison below; only the missing-file case
+  # needs the fallback, and `|| true` keeps the printed count intact.
+  recs_at_launch=$(grep -c '"iteration"' "$OUT/curve.jsonl" 2>/dev/null || true)
+  recs_at_launch=${recs_at_launch:-0}
   while kill -0 "$pid" 2>/dev/null; do
     sleep 30
     mtime=$(stat -c %Y "$OUT/curve.jsonl" 2>/dev/null || echo 0)
     now=$(date +%s)
     last=$(( mtime > launch_ts ? mtime : launch_ts ))
-    recs=$(grep -c '"iteration"' "$OUT/curve.jsonl" 2>/dev/null || echo 0)
+    recs=$(grep -c '"iteration"' "$OUT/curve.jsonl" 2>/dev/null || true)
+    recs=${recs:-0}
     # Until this launch has produced an iteration record, allow the long
     # compile grace; afterwards the tight stall window applies.
     limit=$STALL_SEC
