@@ -150,3 +150,24 @@ def test_window_empty_state_levels_zero():
                                 np.zeros_like(np.asarray(levels)))
   np.testing.assert_array_equal(np.asarray(got_state.active),
                                 np.asarray(state0.active))
+
+
+def test_window_tpu_hardware_parity():
+  """The real Mosaic lowering vs the XLA pair. Skipped off-TPU.
+
+  The round-5 restructure (lane-chunked query, sublane-concat level
+  rows) exists BECAUSE the first version hung Mosaic's compiler; this
+  test pins that the shipped lowering also computes the right thing on
+  hardware, not just in interpret mode.
+  """
+  import pytest
+  if jax.default_backend() != 'tpu':
+    pytest.skip('requires a real TPU lowering')
+  obs = _obs_seq(jax.random.PRNGKey(7), 16, E)
+  state0 = _batched_init(E)
+  ref_state, ref_levels = _xla_rollout(state0, obs)
+  got_state, got_levels = pallas_gp_window.window(state0, obs,
+                                                  interpret=False)
+  _assert_state_close(got_state, ref_state, atol=5e-3)
+  np.testing.assert_allclose(np.asarray(got_levels),
+                             np.asarray(ref_levels), atol=5e-3)
