@@ -32,18 +32,17 @@ NUM_ENVS = int(os.environ.get('BENCH_NUM_ENVS', '4096'))
 NUM_STEPS = int(os.environ.get('BENCH_NUM_STEPS', '32'))
 BASELINE_STEPS_PER_S = 9.0
 
-# 'window': the K-step staged rollout (env.rollout_window) --
+# 'window' (default): the K-step staged rollout (env.rollout_window) --
 # physics/wind wide scan, then the K-step VMEM-resident GP kernel, then
 # wide feature assembly. Computes exactly what K per-step calls compute
 # for this bench's open-loop random policy (actions depend on the step
-# KEY, not the observation; parity pinned by tests/test_rollout_window.py)
-# while amortizing the GP-inverse HBM stream -- the honest step's
-# bandwidth floor -- across the window. 'perstep' (default): the
-# closed-loop per-step path (what training actors with obs-dependent
-# policies use); docs/benchmarks.md reports both numbers. The default is
-# whichever mode currently compiles AND wins on hardware -- see
-# docs/benchmarks.md "K-step window" section for the measured pair.
-MODE = os.environ.get('BENCH_MODE', 'perstep')
+# KEY, not the observation; parity pinned by tests/test_rollout_window.py).
+# 'perstep': the closed-loop per-step path (what training actors with
+# obs-dependent policies use). Measured round 5 on the tunneled v5e:
+# window 302k env-steps/s, perstep 257k at 4096 envs
+# (docs/benchmarks.md); both compile in seconds after the round-5
+# Mosaic restructure.
+MODE = os.environ.get('BENCH_MODE', 'window')
 
 
 def main():
