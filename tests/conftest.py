@@ -6,9 +6,16 @@ Tests exercise the multi-chip sharding paths on virtual CPU devices
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# BLE_TPU_HW_TESTS=1 opts OUT of the CPU forcing so the *_tpu_hardware_*
+# parity tests can exercise the real Mosaic lowering:
+#   BLE_TPU_HW_TESTS=1 python -m pytest tests/test_pallas_gp_window.py \
+#       -k hardware -q
+_HW = os.environ.get("BLE_TPU_HW_TESTS") == "1"
+
+if not _HW:
+  os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _HW and "xla_force_host_platform_device_count" not in flags:
   os.environ["XLA_FLAGS"] = (
       flags + " --xla_force_host_platform_device_count=8").strip()
 
@@ -23,4 +30,5 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 # the TPU tunnel is a network round-trip; tests must run on local CPU.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _HW:
+  jax.config.update("jax_platforms", "cpu")
