@@ -42,6 +42,7 @@ available).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +66,16 @@ E_BLK = 8
 # stays well inside the 16 MiB scoped-VMEM stack (a single un-chunked
 # (CAP, NUM_LEVELS->256-lane-padded) live set x 8 envs overflowed it).
 _LVL_CHUNK = 128
+
+# Experimental: run the posterior-VARIANCE matmul (k* @ kinv, the
+# kernel's dominant FLOP term now that it is compute-bound — see
+# docs/benchmarks.md) with bf16 inputs and f32 accumulation. MEASURED
+# NEGATIVE (round 5): max deviation error 0.25 on the clipped-[0,1]
+# feature (means stay at 3e-5) — the cancellation in
+# sigma^2 - k*^T kinv k* amplifies bf16 mantissa noise, so the cheap
+# cast is NOT shippable; a compensated split-precision scheme would be
+# needed to harvest this FLOP saving. Kept as an env-gated experiment.
+VAR_BF16 = os.environ.get('BLE_GP_VAR_BF16') == '1'
 
 _LS = (357000.0, 357000.0, 326.0, 34560.0)
 
@@ -236,8 +247,12 @@ def _step_one(obs_row, pres_row, loc_in, err_in, active, kinv, alpha_in,
         al, k_star, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_PREC)
     # vv (CAP, chunk) = kinv @ k_star (kinv symmetric).
-    vv = jnp.dot(kv, k_star, preferred_element_type=jnp.float32,
-                 precision=_PREC)
+    if VAR_BF16:
+      vv = jnp.dot(kv.astype(jnp.bfloat16), k_star.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    else:
+      vv = jnp.dot(kv, k_star, preferred_element_type=jnp.float32,
+                   precision=_PREC)
     var = wind_gp.SIGMA_EXP_SQUARED - jnp.sum(k_star * vv, axis=0,
                                               keepdims=True)  # (1, chunk)
     dev = jnp.clip(var / wind_gp.SIGMA_EXP_SQUARED, 0.0, 1.0)
